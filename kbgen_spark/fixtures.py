@@ -1,0 +1,233 @@
+"""Deterministic fixture derivation (FIXTURES.md §1–§3).
+
+The graft input is an Iceberg-shaped table of interleaved text+media docs
+(BASELINE.json:15):
+
+    doc_id : string
+    spans  : array<struct<kind:string, text:string, media_ref:string, offset:int>>
+
+The sandbox only ships a *flat* documents table, so this module derives the
+interleaved shape deterministically (seed=42 semantics via xxhash64 — no
+``rand()``), exactly as specified in FIXTURES.md §1, entirely with JVM-side
+expressions (one whole-stage-codegen pass, no shuffle, no Python).
+
+Also derives the entity-linking ``gazetteer`` (FIXTURES.md §2) and the
+``relation_patterns`` table (FIXTURES.md §3).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kbgen_spark.functions.text import tokens
+
+SPAN_SCHEMA = "array<struct<kind:string,text:string,media_ref:string,offset:int>>"
+
+
+def load_flat_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def interleave_documents(flat_docs: DataFrame) -> DataFrame:
+    """flat (doc_id, text, ...) → (doc_id:string, spans) per FIXTURES.md §1.
+
+    1. chunk tokens into text spans of ``3 + (xxhash64(doc_id, 1) pmod 4)``
+       tokens; offset = running token index of the chunk start;
+    2. after every text span where ``xxhash64(doc_id, offset, 2) pmod 5 == 0``
+       insert a media span (image when pmod 2 == 0 else audio,
+       media_ref = 'media://<doc_id>/<offset>'), shifting later offsets by 1.
+
+    All array logic is ``transform``/``filter``/``flatten`` over a ``sequence``
+    — a single narrow projection: at 10^12 docs this stage has zero shuffles
+    and is embarrassingly parallel over Iceberg file splits.
+    """
+    doc_id_s = F.col("doc_id").cast("string")
+    toks = tokens("text")
+    width = (F.pmod(F.xxhash64(doc_id_s, F.lit(1)), F.lit(4)) + F.lit(3)).cast("int")
+    n_chunks = F.ceil(F.size(toks).cast("double") / width).cast("int")
+
+    # chunk starts in raw token coordinates: 0, w, 2w, ...
+    chunk_idx = F.sequence(F.lit(0), n_chunks - 1)
+
+    def make_pair(i):
+        # text span at raw offset i*w, then 0/1 media spans after it.
+        raw_off = i * width
+        chunk_text = F.array_join(F.slice(toks, raw_off + 1, width), " ")
+        return F.struct(
+            raw_off.alias("raw_off"),
+            chunk_text.alias("text"),
+        )
+
+    pairs = F.transform(chunk_idx, make_pair)
+
+    # Media insertion decision is keyed on the *shifted* offset of each text
+    # span, which depends on how many media spans were inserted before it.
+    # A sequential scan is expressible with ``aggregate`` (fold) — still pure
+    # SQL, still one codegen stage.
+    spans = F.aggregate(
+        pairs,
+        F.expr(
+            f"named_struct('shift', 0, 'acc', cast(array() as {SPAN_SCHEMA}))"
+        ),
+        lambda acc, p: _fold_step(acc, p, doc_id_s),
+        lambda acc: acc["acc"],
+    )
+    return flat_docs.select(doc_id_s.alias("doc_id"), spans.alias("spans"))
+
+
+def _fold_step(acc, p, doc_id_s):
+    off = (p["raw_off"] + acc["shift"]).cast("int")
+    text_span = F.struct(
+        F.lit("text").alias("kind"),
+        p["text"].alias("text"),
+        F.lit(None).cast("string").alias("media_ref"),
+        off.alias("offset"),
+    )
+    media_h = F.xxhash64(doc_id_s, off.cast("bigint"), F.lit(2))
+    media_sel = F.pmod(media_h, F.lit(5))
+    media_kind = F.when(F.pmod(media_h, F.lit(2)) == 0, F.lit("image")).otherwise(
+        F.lit("audio")
+    )
+    media_off = (off + 1).cast("int")
+    media_span = F.struct(
+        media_kind.alias("kind"),
+        F.lit(None).cast("string").alias("text"),
+        F.concat(
+            F.lit("media://"), doc_id_s, F.lit("/"), media_off.cast("string")
+        ).alias("media_ref"),
+        media_off.alias("offset"),
+    )
+    with_media = media_sel == 0
+    new_acc = F.when(
+        with_media,
+        F.struct(
+            (acc["shift"] + 1).alias("shift"),
+            F.concat(acc["acc"], F.array(text_span), F.array(media_span)).alias("acc"),
+        ),
+    ).otherwise(
+        F.struct(
+            acc["shift"].alias("shift"),
+            F.concat(acc["acc"], F.array(text_span)).alias("acc"),
+        )
+    )
+    return new_acc
+
+
+def replicate_documents(docs: DataFrame, factor: int) -> DataFrame:
+    """Deterministic corpus scale-up for benchmarking (FIXTURES.md §1):
+    doc_id || '#' || i for i in 0..factor-1. No shuffle — explode of a
+    constant sequence, fans out at the scan."""
+    if factor <= 1:
+        return docs
+    return docs.select(
+        F.explode(F.sequence(F.lit(0), F.lit(factor - 1))).alias("_rep"), "*"
+    ).select(
+        F.concat(F.col("doc_id"), F.lit("#"), F.col("_rep").cast("string")).alias(
+            "doc_id"
+        ),
+        "spans",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gazetteer (FIXTURES.md §2)
+# ---------------------------------------------------------------------------
+
+_TYPE_CYCLE = ["thing", "action", "system"]
+N_PHRASES = 10
+N_PLURAL_VARIANTS = 5
+
+
+def build_gazetteer(flat_docs: DataFrame) -> DataFrame:
+    """Dictionary for entity linking, derived from the corpus itself.
+
+    - every distinct token, ranked by global frequency (ties: token asc);
+      entity_id = 'E' || lpad(rank, 5, '0'); prior = 1/rank;
+      entity_type = cycle(thing, action, system) by rank.
+    - top-10 adjacent bigrams as two-token phrases (ranks continue);
+    - pluralized variants of the top-5 unigrams map to the *same* entity_id
+      (near-duplicate surface forms → exercises MinHash-LSH + CC canon).
+
+    The unigram/bigram ranking is pure SQL, mirrored verbatim in the DuckDB
+    oracle (__spark_entry__.oracle_sql: 'kg_gazetteer').
+    """
+    toks = flat_docs.select(
+        F.col("doc_id"), F.posexplode(tokens("text")).alias("pos", "tok")
+    )
+    uni = (
+        toks.groupBy("tok")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.orderBy(F.desc("cnt"), F.asc("tok"))
+            ),
+        )
+    )
+    # adjacent bigrams: join tok[pos] with tok[pos+1] within a doc — a narrow
+    # self-join at fixture scale; at real scale use transform over the token
+    # array instead (no shuffle). Implemented array-side here too:
+    bigrams = flat_docs.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(0, greatest(size(split(text,' '))-2, 0)),"
+                " i -> concat(split(text,' ')[i], ' ', split(text,' ')[i+1]))"
+            )
+        ).alias("bg"),
+        F.size(tokens("text")).alias("ntok"),
+    ).filter(F.col("ntok") >= 2)
+    n_uni = uni.count()
+    bi = (
+        bigrams.groupBy("bg")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn(
+            "brank",
+            F.row_number().over(Window.orderBy(F.desc("cnt"), F.asc("bg"))),
+        )
+        .filter(F.col("brank") <= N_PHRASES)
+        .select(
+            F.col("bg").alias("tok"),
+            F.col("cnt"),
+            (F.col("brank") + F.lit(n_uni)).alias("rank"),
+        )
+    )
+    base = uni.select("tok", "cnt", "rank").unionByName(bi)
+    ent = base.select(
+        F.col("tok").alias("surface_form"),
+        F.concat(
+            F.lit("E"), F.lpad(F.col("rank").cast("string"), 5, "0")
+        ).alias("entity_id"),
+        F.element_at(
+            F.array(*[F.lit(t) for t in _TYPE_CYCLE]),
+            (F.pmod(F.col("rank") - 1, F.lit(len(_TYPE_CYCLE))) + 1).cast("int"),
+        ).alias("entity_type"),
+        (F.lit(1.0) / F.col("rank")).alias("prior"),
+        F.col("rank"),
+    )
+    plural = (
+        ent.filter((F.col("rank") <= N_PLURAL_VARIANTS) & (~F.col("surface_form").contains(" ")))
+        .select(
+            F.concat(F.col("surface_form"), F.lit("s")).alias("surface_form"),
+            "entity_id",
+            "entity_type",
+            "prior",
+            "rank",
+        )
+    )
+    return ent.unionByName(plural).drop("rank")
+
+
+def build_relation_patterns(spark: SparkSession) -> DataFrame:
+    """FIXTURES.md §3 — three predicates; P_co_occurs is the hot/skewed one
+    (fires for most entity pairs per doc → exercises K1/K2 salting)."""
+    rows = [
+        ("P_co_occurs", "thing", "action", "doc", 0, False),
+        ("P_near", "action", "system", "span", 5, False),
+        ("P_follows", "thing", "system", "span", 3, True),
+    ]
+    return spark.createDataFrame(
+        rows,
+        "pred string, subj_type string, obj_type string, scope string,"
+        " max_gap int, ordered boolean",
+    )

@@ -1,0 +1,114 @@
+"""G1/G2 — native DataFrame connected components (SURVEY.md §2.11).
+
+GraphFrames is not available (no jar, verified in SURVEY §0/§7.3), so this is
+a from-scratch implementation of the **two-phase large-star / small-star**
+algorithm (R. Kiveris et al., *Connected Components in MapReduce and Beyond*,
+SoCC 2014 — public paper; also the algorithm GraphFrames uses internally).
+
+Why this algorithm at 100 TB scale: it converges in O(log n) rounds versus
+O(diameter) for naive label propagation, each round is one groupBy + one
+join (shuffle on node id), and ``localCheckpoint(eager=True)`` per round cuts
+the lineage/analysis blow-up of iterative DataFrame loops (SURVEY §4.3).
+
+Node ids are compared with Spark ordering (works for strings and numerics);
+the component representative is the minimum member id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MAX_ITERS = 50
+
+
+def _symmetrize(edges: DataFrame) -> DataFrame:
+    e = edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+    return (
+        e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _large_star(sym: DataFrame) -> DataFrame:
+    """For each u: m = min(Γ(u) ∪ {u}); emit (v, m) for v ∈ Γ(u), v > u."""
+    mins = sym.groupBy("u").agg(F.min("v").alias("mn"))
+    mins = mins.withColumn("m", F.least(F.col("u"), F.col("mn"))).select("u", "m")
+    return (
+        sym.join(mins, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Orient edges high→low; for each u: m = min(N(u) ∪ {u}); emit (x, m)
+    for x ∈ N(u) ∪ {u}, x != m."""
+    oriented = edges.select(
+        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+    ).distinct()
+    mins = oriented.groupBy("u").agg(F.min("v").alias("m"))
+    attach_nbrs = (
+        oriented.join(mins, "u")
+        .select(F.col("v").alias("x"), F.col("m"))
+    )
+    attach_self = mins.select(F.col("u").alias("x"), F.col("m"))
+    return (
+        attach_nbrs.unionByName(attach_self)
+        .filter(F.col("x") != F.col("m"))
+        .select(F.col("x").alias("u"), F.col("m").alias("v"))
+        .distinct()
+    )
+
+
+def _edge_fingerprint(edges: DataFrame) -> tuple[int, int]:
+    # decimal(38,0) sum: overflow-safe under ANSI mode (Spark 4 default).
+    row = edges.agg(
+        F.count("*").alias("n"),
+        F.coalesce(
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")), F.lit(0)
+        ).alias("h"),
+    ).collect()[0]
+    return int(row["n"]), int(row["h"])
+
+
+def connected_components(
+    edges: DataFrame, vertices: DataFrame | None = None, max_iters: int = MAX_ITERS
+) -> DataFrame:
+    """edges(src, dst) [+ optional vertices(id)] → (id, component).
+
+    component = min member id of the connected component. Isolated vertices
+    (present in ``vertices`` but in no edge) map to themselves.
+    """
+    cur = _symmetrize(edges).localCheckpoint(eager=True)
+    prev_fp = None
+    for _ in range(max_iters):
+        cur = _small_star(_large_star(cur)).localCheckpoint(eager=True)
+        fp = _edge_fingerprint(cur)
+        if fp == prev_fp:
+            break
+        prev_fp = fp
+    else:
+        raise RuntimeError(f"connected_components did not converge in {max_iters} iters")
+
+    # Converged star graph: every edge is (member, root).
+    assign = cur.select(F.col("u").alias("id"), F.col("v").alias("component"))
+    roots = cur.select(F.col("v").alias("id"), F.col("v").alias("component")).distinct()
+    comp = assign.unionByName(roots).distinct()
+    if vertices is not None:
+        vs = vertices.select(F.col(vertices.columns[0]).alias("id")).distinct()
+        isolated = vs.join(comp, "id", "left_anti").select(
+            "id", F.col("id").alias("component")
+        )
+        comp = comp.unionByName(isolated)
+    return comp
+
+
+def canonical_representatives(components: DataFrame) -> DataFrame:
+    """G2 — component root IS the canonical representative (min id)."""
+    return components.select(
+        F.col("id").alias("member"), F.col("component").alias("canonical")
+    )

@@ -1,0 +1,111 @@
+"""Stage MATERIALIZE — triple assembly (SURVEY.md §3.2, FIXTURES.md §3).
+
+Inputs:
+- ``links``            (doc_id, span_idx, tok_start, entity_id, entity_type, ...)
+- ``canon_map``        (entity_id → canon_id, canon_type) from G1/G2
+- ``relation_patterns`` (pred, subj_type, obj_type, scope, max_gap, ordered)
+
+Semantics (mirrored by the pure-pandas golden oracle in tests/golden_gen.py):
+- scope='doc' : for each doc, every ordered pair (s, o) of *distinct* canon
+  entities with s.type = subj_type, o.type = obj_type, s != o.
+- scope='span': pairs within the same (doc_id, span_idx) with
+  |tok_start_s − tok_start_o| ≤ max_gap; when ``ordered`` additionally
+  tok_start_s < tok_start_o.
+- output is the distinct set of (subj, pred, obj).
+
+Scale notes: patterns are broadcast (tiny). The doc-scope self-join shuffles
+on doc_id only; the hot predicate (P_co_occurs fires on most pairs → skew on
+``pred``) is handled downstream with salted aggregation (plans/skew.py K1) —
+the join itself is keyed on doc_id, which is uniform, NOT on pred.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def apply_canon_map(links: DataFrame, canon_map: DataFrame) -> DataFrame:
+    """G3 — re-key entity ids to canonical ids. canon_map is a dictionary
+    table (≤ #surface forms) → broadcast join, no shuffle of the link side."""
+    return links.join(F.broadcast(canon_map), "entity_id", "left").select(
+        "doc_id",
+        "span_idx",
+        "tok_start",
+        F.coalesce("canon_id", "entity_id").alias("entity_c"),
+        F.coalesce("canon_type", "entity_type").alias("type_c"),
+    )
+
+
+def assemble_triples(canon_links: DataFrame, patterns: DataFrame) -> DataFrame:
+    """canon links × patterns → distinct (subj, pred, obj)."""
+    doc_pat = patterns.filter(F.col("scope") == "doc")
+    span_pat = patterns.filter(F.col("scope") == "span")
+
+    # ---- doc scope: distinct entities per doc, typed pair join on doc_id
+    ents = canon_links.select("doc_id", "entity_c", "type_c").distinct()
+    s = ents.alias("s").join(
+        F.broadcast(doc_pat).alias("p"), F.col("s.type_c") == F.col("p.subj_type")
+    )
+    doc_triples = (
+        s.join(
+            ents.alias("o"),
+            (F.col("s.doc_id") == F.col("o.doc_id"))
+            & (F.col("o.type_c") == F.col("p.obj_type"))
+            & (F.col("s.entity_c") != F.col("o.entity_c")),
+        )
+        .select(
+            F.col("s.entity_c").alias("subj"),
+            F.col("p.pred").alias("pred"),
+            F.col("o.entity_c").alias("obj"),
+        )
+    )
+
+    # ---- span scope: pair mentions within a span, gap + order constraints
+    m = canon_links.select("doc_id", "span_idx", "tok_start", "entity_c", "type_c")
+    ms = m.alias("s").join(
+        F.broadcast(span_pat).alias("p"), F.col("s.type_c") == F.col("p.subj_type")
+    )
+    span_triples = (
+        ms.join(
+            m.alias("o"),
+            (F.col("s.doc_id") == F.col("o.doc_id"))
+            & (F.col("s.span_idx") == F.col("o.span_idx"))
+            & (F.col("o.type_c") == F.col("p.obj_type"))
+            & (F.col("s.entity_c") != F.col("o.entity_c"))
+            & (
+                F.abs(F.col("s.tok_start") - F.col("o.tok_start"))
+                <= F.col("p.max_gap")
+            )
+            & (
+                (~F.col("p.ordered"))
+                | (F.col("s.tok_start") < F.col("o.tok_start"))
+            ),
+        )
+        .select(
+            F.col("s.entity_c").alias("subj"),
+            F.col("p.pred").alias("pred"),
+            F.col("o.entity_c").alias("obj"),
+        )
+    )
+
+    return doc_triples.unionByName(span_triples).distinct()
+
+
+def write_triples(triples: DataFrame, path: str, pred_buckets: int = 16) -> None:
+    """S5 — partitioned triples sink. Iceberg `partitionedBy(bucket(...))` when
+    a catalog is configured; parquet fallback partitions by a derived
+    pred_bucket so hot predicates split across files (SURVEY §7.3)."""
+    out = triples.withColumn(
+        "pred_bucket", F.pmod(F.xxhash64("pred", "subj"), F.lit(pred_buckets))
+    )
+    out.write.mode("overwrite").partitionBy("pred_bucket").parquet(path)
+
+
+def triples_to_ntriples(triples: DataFrame, base_uri: str = "http://kb/") -> DataFrame:
+    """NT text sink shape [R generate_model.py-style emit, SURVEY §2.1 S5]:
+    one string column; write with ``df.write.text``."""
+    mk = lambda c: F.concat(F.lit("<" + base_uri), F.col(c), F.lit(">"))
+    return triples.select(
+        F.concat_ws(" ", mk("subj"), mk("pred"), mk("obj"), F.lit(".")).alias("nt")
+    )

@@ -1,0 +1,144 @@
+"""End-to-end KG construction: extract → link → canonicalize → materialize
+(SURVEY.md §3.2; north_rule BASELINE.json:14).
+
+Each stage checkpoints through the snapshot store (plans/lineage.py) with
+per-partition lineage counters; a rerun skips completed stages and replays
+bit-identically (all randomness is hash-derived).
+
+The documents table itself is never mutated — stages *derive* new tables
+keyed by (doc_id, span_idx), so the span-sequence invariant
+(kind, text, media_ref, order) holds trivially; tests assert it end-to-end.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kbgen_spark import fixtures as FX
+from kbgen_spark.operators.canonicalize import similar_surface_edges
+from kbgen_spark.operators.extract import extract_mentions
+from kbgen_spark.operators.graph import connected_components
+from kbgen_spark.operators.link import link_mentions
+from kbgen_spark.operators.materialize import apply_canon_map, assemble_triples
+from kbgen_spark.plans.lineage import (
+    ParquetSnapshotStore,
+    dataframe_fingerprint,
+    run_stage,
+)
+
+LSH_BANDS = 16  # r = 2 rows/band: ≥99.9% recall at jaccard ≥ 0.6 (see canon docs)
+LSH_K = 32
+JACCARD_T = 0.5
+
+
+@dataclass
+class PipelineRun:
+    triples: DataFrame
+    stages: dict = field(default_factory=dict)
+    skipped: list = field(default_factory=list)
+
+
+def build_canon_map(gazetteer: DataFrame) -> DataFrame:
+    """Surface-form similarity edges → connected components → per-component
+    canonical entity (min entity_id, with its type). Returns
+    (entity_id, canon_id, canon_type)."""
+    edges = similar_surface_edges(
+        gazetteer, "surface_form", k=LSH_K, bands=LSH_BANDS, threshold=JACCARD_T
+    ).select(F.col("a").alias("src"), F.col("b").alias("dst"))
+    comp = connected_components(edges, vertices=gazetteer.select("surface_form"))
+    sfc = gazetteer.join(
+        comp.withColumnRenamed("id", "surface_form"), "surface_form"
+    )
+    canon = sfc.groupBy("component").agg(
+        F.min(F.struct("entity_id", "entity_type")).alias("c")
+    ).select(
+        "component",
+        F.col("c.entity_id").alias("canon_id"),
+        F.col("c.entity_type").alias("canon_type"),
+    )
+    m = (
+        sfc.join(canon, "component")
+        .groupBy("entity_id")
+        .agg(F.min(F.struct("canon_id", "canon_type")).alias("c"))
+        .select(
+            "entity_id",
+            F.col("c.canon_id").alias("canon_id"),
+            F.col("c.canon_type").alias("canon_type"),
+        )
+    )
+    return m
+
+
+def run_pipeline(
+    spark: SparkSession,
+    sf_dir: str,
+    store: ParquetSnapshotStore | None = None,
+    docs: DataFrame | None = None,
+    gazetteer: DataFrame | None = None,
+    patterns: DataFrame | None = None,
+    stop_after: str | None = None,
+) -> PipelineRun:
+    """Run (or resume) the full flow over the corpus at ``sf_dir``.
+
+    ``stop_after`` ∈ {extract, link, canon} simulates a killed run for the
+    resume test (SURVEY §5.2 item 6).
+    """
+    flat = FX.load_flat_documents(spark, sf_dir)
+    docs = docs if docs is not None else FX.interleave_documents(flat)
+    gazetteer = gazetteer if gazetteer is not None else FX.build_gazetteer(flat)
+    patterns = (
+        patterns if patterns is not None else FX.build_relation_patterns(spark)
+    )
+
+    run = PipelineRun(triples=None)
+    # Input fingerprints tie snapshots to their inputs (resume correctness).
+    in_fp = f"{sf_dir}"
+    params = {"sf_dir": sf_dir, "lsh_k": LSH_K, "bands": LSH_BANDS, "tau": JACCARD_T}
+
+    ext = run_stage(
+        spark, store, "extract", params, in_fp, lambda: extract_mentions(docs, gazetteer)
+    )
+    run.stages["extract"] = ext
+    if ext.skipped:
+        run.skipped.append("extract")
+    if stop_after == "extract":
+        return run
+
+    lnk = run_stage(
+        spark, store, "link", params, in_fp, lambda: link_mentions(ext.df, gazetteer)
+    )
+    run.stages["link"] = lnk
+    if lnk.skipped:
+        run.skipped.append("link")
+    if stop_after == "link":
+        return run
+
+    canon = run_stage(
+        spark, store, "canon", params, in_fp, lambda: build_canon_map(gazetteer)
+    )
+    run.stages["canon"] = canon
+    if canon.skipped:
+        run.skipped.append("canon")
+    if stop_after == "canon":
+        return run
+
+    mat = run_stage(
+        spark,
+        store,
+        "materialize",
+        params,
+        in_fp,
+        lambda: assemble_triples(apply_canon_map(lnk.df, canon.df), patterns),
+    )
+    run.stages["materialize"] = mat
+    if mat.skipped:
+        run.skipped.append("materialize")
+    run.triples = mat.df
+    return run
+
+
+def triples_fingerprint(triples: DataFrame) -> str:
+    return dataframe_fingerprint(triples.select("subj", "pred", "obj"))

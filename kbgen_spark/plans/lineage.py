@@ -1,0 +1,145 @@
+"""S6 — snapshot store with per-partition lineage and resume (SURVEY.md §2.1
+S6, §4.3; BASELINE.json:14 "resumable from checkpoint with per-partition
+lineage + metrics").
+
+Spark has no cross-job checkpoint contract, so stages commit through a
+storage adapter:
+
+- ``ParquetSnapshotStore`` (sandbox): one directory per (stage, params_hash)
+  containing the parquet output plus ``_MANIFEST.json`` with
+  {stage, params_hash, input_fingerprint, rows, per-partition row counts,
+  schema, counters}.  A write is atomic at the manifest level: the manifest
+  is written only after the parquet commit succeeds, so a killed run leaves
+  no valid snapshot and the stage re-executes on resume.
+- The same API maps 1:1 onto Iceberg snapshots (`writeTo(...).createOrReplace`
+  + snapshot metadata) when a catalog jar is present — see SURVEY §7.3.
+
+Resume contract: ``run_stage`` recomputes the stage only when no manifest
+matches (stage, params_hash, input_fingerprint); otherwise it reloads the
+committed snapshot.  Because every "random" draw in the engine is an
+xxhash64 function of stable ids, a resumed run is bit-identical to an
+uninterrupted one (SURVEY §3.3).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+from dataclasses import dataclass
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+MANIFEST = "_MANIFEST.json"
+
+
+def params_hash(params: dict) -> str:
+    return hashlib.sha256(
+        json.dumps(params, sort_keys=True, default=str).encode()
+    ).hexdigest()[:16]
+
+
+def dataframe_fingerprint(df: DataFrame) -> str:
+    """Order-insensitive content hash: sum of row xxhash64 over canonicalized
+    string forms + row count. One extra pass — only used at checkpoint
+    boundaries."""
+    row = df.select(
+        F.coalesce(
+            F.sum(
+                F.xxhash64(*[F.col(c).cast("string") for c in df.columns]).cast(
+                    "decimal(38,0)"
+                )
+            ),
+            F.lit(0),
+        ).alias("h"),
+        F.count("*").alias("n"),
+    ).collect()[0]
+    return f"{row['n']}:{int(row['h'])}"
+
+
+@dataclass
+class StageResult:
+    df: DataFrame
+    skipped: bool
+    manifest: dict
+
+
+class ParquetSnapshotStore:
+    def __init__(self, base_dir: str):
+        self.base_dir = base_dir
+        os.makedirs(base_dir, exist_ok=True)
+
+    def _dir(self, stage: str, phash: str) -> str:
+        return os.path.join(self.base_dir, stage, f"snapshot-{phash}")
+
+    def manifest_path(self, stage: str, phash: str) -> str:
+        return os.path.join(self._dir(stage, phash), MANIFEST)
+
+    def load_manifest(self, stage: str, phash: str) -> dict | None:
+        p = self.manifest_path(stage, phash)
+        if os.path.exists(p):
+            with open(p) as f:
+                return json.load(f)
+        return None
+
+    def read(self, spark: SparkSession, stage: str, phash: str) -> DataFrame:
+        return spark.read.parquet(os.path.join(self._dir(stage, phash), "data"))
+
+    def commit(
+        self,
+        df: DataFrame,
+        stage: str,
+        phash: str,
+        input_fingerprint: str,
+        extra: dict | None = None,
+    ) -> tuple[DataFrame, dict]:
+        """Write data, gather per-partition lineage counters, then publish the
+        manifest (manifest-last = atomic commit point)."""
+        d = self._dir(stage, phash)
+        data_dir = os.path.join(d, "data")
+        df.write.mode("overwrite").parquet(data_dir)
+        spark = df.sparkSession
+        committed = spark.read.parquet(data_dir)
+        per_part = {
+            str(r["pid"]): r["rows"]
+            for r in committed.groupBy(
+                F.spark_partition_id().alias("pid")
+            )
+            .agg(F.count("*").alias("rows"))
+            .collect()
+        }
+        manifest = {
+            "stage": stage,
+            "params_hash": phash,
+            "input_fingerprint": input_fingerprint,
+            "rows": int(sum(per_part.values())),
+            "partition_rows": per_part,
+            "schema": committed.schema.simpleString(),
+            **(extra or {}),
+        }
+        tmp = self.manifest_path(stage, phash) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f, indent=1)
+        os.replace(tmp, self.manifest_path(stage, phash))
+        return committed, manifest
+
+
+def run_stage(
+    spark: SparkSession,
+    store: ParquetSnapshotStore | None,
+    stage: str,
+    params: dict,
+    input_fingerprint: str,
+    compute: Callable[[], DataFrame],
+) -> StageResult:
+    """Execute-or-resume one pipeline stage."""
+    if store is None:
+        return StageResult(compute(), skipped=False, manifest={})
+    phash = params_hash(params)
+    man = store.load_manifest(stage, phash)
+    if man is not None and man.get("input_fingerprint") == input_fingerprint:
+        return StageResult(store.read(spark, stage, phash), skipped=True, manifest=man)
+    df, man = store.commit(compute(), stage, phash, input_fingerprint)
+    return StageResult(df, skipped=False, manifest=man)
