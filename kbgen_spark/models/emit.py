@@ -1,0 +1,272 @@
+"""V4 — the synthetic triple emitter (SURVEY.md §2.9 V4, §3.3; P §3).
+
+kbgen's generator loops single-threaded over ``n`` requested facts: draw a
+relation from the relation distribution, a (subj-multitype, obj-multitype)
+pair from the relation's joint distribution, then concrete entities within
+those multitypes (uniformly for M1/M2, popularity-biased for eMi), rejecting
+facts that violate M2 degree caps [P §3.1–3.4; R generate_model.py].
+
+Spark re-grounding — fully distributed, deterministic, resumable:
+
+1. ``spark.range(n)``: the fact ids 0..n-1 are the *only* source of
+   randomness — every draw is ``splitmix64(fact_id, stream)`` (a pure
+   function, so task retries and resumes replay identically; SURVEY §4.3).
+2. ``mapInPandas`` (Arrow-batched, no per-row Python at the Spark level)
+   turns each fact id into (pred, subj_mt, obj_mt, subj_idx, obj_idx) via
+   vectorized ``np.searchsorted`` against the broadcast joint CDF.
+3. Concrete entities materialize via two shuffle joins against a
+   ``row_number``-indexed entity table (uniform mode) or an indexed
+   fact-occurrence table (eMi mode: sampling an *occurrence* makes
+   P(entity) ∝ degree — exactly the popularity bias eMi models [P §3.4]).
+   No entity list ever sits on the driver → works at 10^12 entities.
+4. M2: per-(pred,subj) degree caps drawn from the learned out-degree
+   histogram (hash-uniform keyed on (pred, subj)); enforced with one
+   window ``row_number ≤ cap``; facts deduped (kbgen's "fact exists"
+   rejection → one ``dropDuplicates``) [P §3.2].
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kbgen_spark.functions.hashing import det_uniform
+
+_M64 = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+
+def splitmix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 (public-domain PRNG finalizer; Steele et al.,
+    *Fast Splittable Pseudorandom Number Generators*, OOPSLA 2014)."""
+    with np.errstate(over="ignore"):  # wrap-around mod 2^64 is the algorithm
+        z = (x + np.uint64(0x9E3779B97F4A7C15)) & _M64
+        z = ((z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)) & _M64
+        z = ((z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)) & _M64
+        return z ^ (z >> np.uint64(31))
+
+
+def hash_uniform(ids: np.ndarray, stream: int, seed: int) -> np.ndarray:
+    """u in [0,1): pure function of (fact_id, stream, seed)."""
+    mixed = splitmix64(
+        ids.astype(np.uint64)
+        ^ splitmix64(np.uint64((stream * 0x9E3779B9 + seed) & 0xFFFFFFFFFFFFFFFF))
+    )
+    return mixed.astype(np.float64) / 18446744073709551616.0
+
+
+SAMPLE_SCHEMA = (
+    "fact_id bigint, pred string, subj_mt string, obj_mt string,"
+    " subj_idx bigint, obj_idx bigint"
+)
+
+
+def _index_entities(mts: DataFrame) -> DataFrame:
+    w = Window.partitionBy("mt").orderBy("entity")
+    return mts.select(
+        "mt", "entity", (F.row_number().over(w) - 1).alias("idx")
+    )
+
+
+def _index_occurrences(tf: DataFrame, side: str) -> DataFrame:
+    """eMi: fact occurrences indexed per (pred, side multitype)."""
+    mt_col = f"{side}_mt"
+    w = Window.partitionBy("pred", mt_col).orderBy("subj", "obj")
+    return tf.select(
+        "pred", mt_col, F.col(side).alias("entity"), (F.row_number().over(w) - 1).alias("idx")
+    )
+
+
+def sample_skeletons(
+    spark: SparkSession,
+    joint: pd.DataFrame,
+    subj_counts: dict,
+    obj_counts: dict,
+    n: int,
+    seed: int,
+) -> DataFrame:
+    """Steps 1–2: fact ids → (pred, subj_mt, obj_mt, subj_idx, obj_idx).
+
+    ``joint`` is the collected domain_range table (model-sized);
+    ``subj_counts``/``obj_counts`` map the sampled group to the size of the
+    pool the concrete index is drawn from.
+    """
+    joint = joint.sort_values(["pred", "subj_mt", "obj_mt"]).reset_index(drop=True)
+    cdf = joint["n"].to_numpy(np.float64).cumsum()
+    cdf /= cdf[-1]
+    preds = joint["pred"].to_numpy()
+    smts = joint["subj_mt"].to_numpy()
+    omts = joint["obj_mt"].to_numpy()
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            ids = b["id"].to_numpy(np.int64)
+            k = np.searchsorted(cdf, hash_uniform(ids, 0, seed), side="right")
+            k = np.minimum(k, len(cdf) - 1)
+            pred, smt, omt = preds[k], smts[k], omts[k]
+            ns = np.array([subj_counts[(p, m)] for p, m in zip(pred, smt)])
+            no = np.array([obj_counts[(p, m)] for p, m in zip(pred, omt)])
+            u_s = hash_uniform(ids, 1, seed)
+            u_o = hash_uniform(ids, 2, seed)
+            yield pd.DataFrame(
+                {
+                    "fact_id": ids,
+                    "pred": pred,
+                    "subj_mt": smt,
+                    "obj_mt": omt,
+                    "subj_idx": np.floor(u_s * ns).astype(np.int64),
+                    "obj_idx": np.floor(u_o * no).astype(np.int64),
+                }
+            )
+
+    return spark.range(n).mapInPandas(gen, SAMPLE_SCHEMA)
+
+
+def emit_synthetic(
+    spark: SparkSession,
+    model: dict[str, DataFrame],
+    n: int,
+    seed: int = 42,
+    mode: str = "m1",
+    rules: DataFrame | None = None,
+    emit_types: bool = False,
+) -> DataFrame:
+    """Emit ~n synthetic (subj, pred, obj) facts from a learned model.
+
+    mode ∈ {m1, m2, emi}.  m2 applies degree caps + fact-set dedup (output
+    count is ≤ n, as in kbgen's rejection sampling).  Pass ``rules`` (M3
+    horn-rule table) to also fire rules — see models/rules.py.
+    """
+    from kbgen_spark.models.learn import multitypes as _  # noqa: F401 (doc link)
+
+    dr = model["domain_range"].toPandas()
+    mts = model["multitypes"]
+
+    if mode == "emi":
+        # popularity ∝ degree: draw a fact occurrence, take its entity.
+        subj_counts = {
+            (r["pred"], r["subj_mt"]): r["n"]
+            for r in dr.groupby(["pred", "subj_mt"], as_index=False)["n"]
+            .sum()
+            .to_dict("records")
+        }
+        obj_counts = {
+            (r["pred"], r["obj_mt"]): r["n"]
+            for r in dr.groupby(["pred", "obj_mt"], as_index=False)["n"]
+            .sum()
+            .to_dict("records")
+        }
+    else:
+        mt_sizes = {r["mt"]: r["n"] for r in model["mt_dist"].collect()}
+        # uniform over entities of the multitype (untyped pool size 1 guard)
+        subj_counts = {
+            (r["pred"], r["subj_mt"]): max(mt_sizes.get(r["subj_mt"], 1), 1)
+            for r in dr.to_dict("records")
+        }
+        obj_counts = {
+            (r["pred"], r["obj_mt"]): max(mt_sizes.get(r["obj_mt"], 1), 1)
+            for r in dr.to_dict("records")
+        }
+
+    sk = sample_skeletons(spark, dr, subj_counts, obj_counts, n, seed)
+
+    if mode == "emi":
+        tf_cols = ["pred", "subj_mt", "obj_mt", "subj", "obj"]
+        tf = model["typed_facts"].select(*tf_cols)
+        si = _index_occurrences(tf, "subj").withColumnsRenamed(
+            {"entity": "subj", "idx": "subj_idx"}
+        )
+        oi = _index_occurrences(tf, "obj").withColumnsRenamed(
+            {"entity": "obj", "idx": "obj_idx"}
+        )
+        facts = sk.join(si, ["pred", "subj_mt", "subj_idx"]).join(
+            oi, ["pred", "obj_mt", "obj_idx"]
+        )
+    else:
+        ei = _index_entities(mts)
+        si = ei.select(
+            F.col("mt").alias("subj_mt"),
+            F.col("entity").alias("subj"),
+            F.col("idx").alias("subj_idx"),
+        )
+        oi = ei.select(
+            F.col("mt").alias("obj_mt"),
+            F.col("entity").alias("obj"),
+            F.col("idx").alias("obj_idx"),
+        )
+        facts = sk.join(si, ["subj_mt", "subj_idx"]).join(oi, ["obj_mt", "obj_idx"])
+
+    facts = facts.select("fact_id", "subj", "pred", "obj")
+
+    if mode in ("m2", "emi") and "out_degree" in model:
+        facts = _apply_degree_caps(facts, model["out_degree"], seed)
+        # reflexivity: predicates never observed reflexive reject s==o [P §3.2]
+        reflex = model["reflexivity"].select(
+            "pred", (F.col("reflexivity") > 0).alias("_refl_ok")
+        )
+        facts = (
+            facts.join(F.broadcast(reflex), "pred", "left")
+            .filter((F.col("subj") != F.col("obj")) | F.coalesce("_refl_ok", F.lit(False)))
+            .drop("_refl_ok")
+        )
+        facts = facts.dropDuplicates(["subj", "pred", "obj"])
+
+    out = facts.select("subj", "pred", "obj")
+
+    if rules is not None:
+        from kbgen_spark.models.rules import apply_rules
+
+        out = apply_rules(out, rules, seed=seed)
+
+    if emit_types:
+        used = out.select(F.col("subj").alias("entity")).unionByName(
+            out.select(F.col("obj").alias("entity"))
+        ).distinct()
+        type_triples = (
+            used.join(mts, "entity")
+            .select(
+                F.col("entity").alias("subj"),
+                F.lit("rdf:type").alias("pred"),
+                F.explode(F.split("mt", r"\|")).alias("obj"),
+            )
+            .filter(F.col("obj") != "")
+        )
+        out = out.unionByName(type_triples)
+    return out
+
+
+def _apply_degree_caps(facts: DataFrame, out_degree: DataFrame, seed: int) -> DataFrame:
+    """cap(pred, subj) ~ learned out-degree histogram via inverse CDF at a
+    hash-uniform of (pred, subj); keep the first ``cap`` facts per (pred,
+    subj) in fact_id order (deterministic)."""
+    hist = out_degree.toPandas().sort_values(["pred", "deg"])
+    cdf_by_pred = {}
+    for pred, grp in hist.groupby("pred"):
+        c = grp["n"].to_numpy(np.float64).cumsum()
+        cdf_by_pred[pred] = (c / c[-1], grp["deg"].to_numpy(np.int64))
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("bigint")
+    def cap_udf(pred: pd.Series, u: pd.Series) -> pd.Series:
+        out = np.empty(len(pred), dtype=np.int64)
+        uv = u.to_numpy(np.float64)
+        pv = pred.to_numpy()
+        for p in pd.unique(pv):
+            mask = pv == p
+            cdf, degs = cdf_by_pred.get(p, (np.array([1.0]), np.array([1])))
+            k = np.minimum(np.searchsorted(cdf, uv[mask], side="right"), len(degs) - 1)
+            out[mask] = degs[k]
+        return pd.Series(out)
+
+    w = Window.partitionBy("pred", "subj").orderBy("fact_id")
+    return (
+        facts.withColumn("_u", det_uniform("pred", "subj", seed=seed + 7))
+        .withColumn("_cap", cap_udf(F.col("pred"), F.col("_u")))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= F.col("_cap"))
+        .drop("_u", "_cap", "_rn")
+    )

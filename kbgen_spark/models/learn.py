@@ -1,0 +1,155 @@
+"""Model learners — kbgen's statistical KB models re-grounded in Spark
+(SURVEY.md §2.4 A1–A8, §3.3; semantics from Melo & Paulheim, ESWC 2017 [P]).
+
+A learned model is **a set of small DataFrames** (distribution tables), not a
+pickled object [R kbgen/kb_models/model_m*.py → SURVEY §1.1]:
+
+- M1: relation frequency dist (A1), multitype dist (A2), domain/range joint
+  (A3), entity/fact counts (A8).
+- M2 ⊃ M1: per-relation out-degree ("functionality") and in-degree
+  ("inverse functionality") histograms (A4/A5), reflexivity rate (A6).
+- M3 ⊃ M2: AMIE-style horn rules with confidences (external table).
+- eMi: entity-popularity selection bias — re-grounded as *sampling subjects/
+  objects from the empirical fact-occurrence distribution* (popularity ∝
+  degree), see models/emit.py.
+
+The **multitype** is kbgen's unit of typing: the sorted set of an entity's
+types treated as one categorical value [P §3.1].  Here it is the
+``'|'``-joined sorted type array (groupable string key).
+
+Every learner is one or two hash aggregations — partial aggregation
+(map-side combine) makes these linear and shuffle-light at 10^12 facts; the
+outputs are model-sized (≤ |preds| × |multitypes|²).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+MT_SEP = "|"
+NO_TYPE = ""
+
+
+def multitypes(types: DataFrame) -> DataFrame:
+    """(entity, type) → (entity, mt). A2a — the multitype key."""
+    return types.groupBy("entity").agg(
+        F.array_join(F.sort_array(F.collect_set("type")), MT_SEP).alias("mt")
+    )
+
+
+def typed_facts(triples: DataFrame, mts: DataFrame) -> DataFrame:
+    """J2+J3 — facts joined with subject and object multitypes. The two joins
+    share the (entity) key distribution → Catalyst reuses the exchange.
+    Untyped entities get the empty multitype."""
+    smt = mts.select(F.col("entity").alias("subj"), F.col("mt").alias("subj_mt"))
+    omt = mts.select(F.col("entity").alias("obj"), F.col("mt").alias("obj_mt"))
+    return (
+        triples.join(smt, "subj", "left")
+        .join(omt, "obj", "left")
+        .fillna({"subj_mt": NO_TYPE, "obj_mt": NO_TYPE})
+    )
+
+
+def learn_m1(triples: DataFrame, types: DataFrame) -> dict[str, DataFrame]:
+    mts = multitypes(types)
+    tf = typed_facts(triples, mts)
+    rel_dist = triples.groupBy("pred").agg(F.count("*").alias("n")).orderBy("pred")
+    mt_dist = mts.groupBy("mt").agg(F.count("*").alias("n")).orderBy("mt")
+    domain_range = (
+        tf.groupBy("pred", "subj_mt", "obj_mt")
+        .agg(F.count("*").alias("n"))
+        .orderBy("pred", "subj_mt", "obj_mt")
+    )
+    counts = triples.sparkSession.createDataFrame(
+        [
+            (
+                int(
+                    triples.select("subj")
+                    .unionByName(triples.select(F.col("obj").alias("subj")))
+                    .distinct()
+                    .count()
+                ),
+                int(triples.count()),
+            )
+        ],
+        "n_entities bigint, n_facts bigint",
+    )
+    return {
+        "rel_dist": rel_dist,
+        "mt_dist": mt_dist,
+        "domain_range": domain_range,
+        "counts": counts,
+        "multitypes": mts,
+    }
+
+
+def learn_m2(triples: DataFrame, types: DataFrame) -> dict[str, DataFrame]:
+    m = learn_m1(triples, types)
+    out_deg = (
+        triples.groupBy("pred", "subj")
+        .agg(F.count("*").alias("deg"))
+        .groupBy("pred", "deg")
+        .agg(F.count("*").alias("n"))
+        .orderBy("pred", "deg")
+    )
+    in_deg = (
+        triples.groupBy("pred", "obj")
+        .agg(F.count("*").alias("deg"))
+        .groupBy("pred", "deg")
+        .agg(F.count("*").alias("n"))
+        .orderBy("pred", "deg")
+    )
+    reflex = triples.groupBy("pred").agg(
+        F.avg((F.col("subj") == F.col("obj")).cast("double")).alias("reflexivity")
+    )
+    m.update({"out_degree": out_deg, "in_degree": in_deg, "reflexivity": reflex})
+    return m
+
+
+def learn_emi(triples: DataFrame, types: DataFrame) -> dict[str, DataFrame]:
+    """A7 — entity popularity. The empirical degree table per entity (the
+    emitter samples fact occurrences directly, so the explicit histogram is
+    for inspection/χ² tests)."""
+    m = learn_m2(triples, types)
+    # occurrence table for the eMi emitter (popularity ∝ degree sampling);
+    # facts-sized, persisted partitioned (not a small dict table).
+    m["typed_facts"] = typed_facts(triples, m["multitypes"])
+    pop = (
+        triples.select(F.col("subj").alias("entity"))
+        .unionByName(triples.select(F.col("obj").alias("entity")))
+        .groupBy("entity")
+        .agg(F.count("*").alias("degree"))
+        .orderBy(F.desc("degree"), F.asc("entity"))
+    )
+    m["popularity"] = pop
+    return m
+
+
+# ---------------------------------------------------------------------------
+# Model persistence — S3 equivalent: directory of parquet + JSON manifest
+# (the reference pickles a KBModel object [R]; SURVEY §2.1 S2/S3).
+# ---------------------------------------------------------------------------
+
+
+def save_model(model: dict[str, DataFrame], path: str, name: str = "model") -> None:
+    os.makedirs(path, exist_ok=True)
+    tables = {}
+    for key, df in model.items():
+        out = df if key in ("typed_facts", "multitypes", "popularity") else df.coalesce(1)
+        out.write.mode("overwrite").parquet(os.path.join(path, key))
+        tables[key] = df.schema.simpleString()
+    with open(os.path.join(path, "manifest.json"), "w") as f:
+        json.dump({"name": name, "tables": tables}, f, indent=1)
+
+
+def load_model(spark: SparkSession, path: str) -> dict[str, DataFrame]:
+    with open(os.path.join(path, "manifest.json")) as f:
+        manifest = json.load(f)
+    return {
+        key: spark.read.parquet(os.path.join(path, key))
+        for key in manifest["tables"]
+    }
