@@ -1,0 +1,133 @@
+"""Approximate-nearest-neighbor similarity search over embedding columns.
+
+Two paths over ``embeddings(vec_id, embedding: array<float>, label)``:
+
+- ``cosine_topk``  : brute-force exact top-k — the correctness baseline.
+  Dot products are ``F.aggregate(F.zip_with(...))`` — pure JVM array math,
+  no Python. Brute force is O(n·q); use it for small query sets or as the
+  verifier for the ANN path.
+- ``ivf_topk``     : the scale path — a random-hyperplane LSH coarse
+  quantizer (deterministic, derived from xxhash64 of the bucket seeds)
+  assigns every vector to a bucket; queries only score vectors in their own
+  bucket (optionally ±probe buckets). At 10^12 vectors this turns a full
+  cross join into a bucket-local join, the classic IVF trade of recall for
+  a ~#buckets× cost cut.
+
+Vectors are L2-normalized once up front so cosine == dot product.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _norm(col) -> object:
+    mag = F.sqrt(F.aggregate(col, F.lit(0.0), lambda a, x: a + x * x))
+    return F.transform(col, lambda x: x / mag)
+
+
+def normalize(embeddings: DataFrame, col: str = "embedding") -> DataFrame:
+    return embeddings.withColumn(col, _norm(F.col(col).cast("array<double>")))
+
+
+def _dot(a, b) -> object:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, v: s + v)
+
+
+def cosine_topk(
+    embeddings: DataFrame, queries: DataFrame, k: int = 5
+) -> DataFrame:
+    """Exact top-k neighbors per query: (qid, vec_id, score, rank).
+
+    queries: (qid, embedding). The corpus side is broadcast if small; at
+    scale broadcast the *query* side instead (queries ≪ corpus) — Spark
+    picks this up from size stats/AQE, and the explicit hint below marks
+    the query side as the small one."""
+    e = normalize(embeddings).select(
+        F.col("vec_id"), F.col("embedding").alias("v")
+    )
+    q = normalize(queries, "embedding").select(
+        F.col("qid"), F.col("embedding").alias("qv")
+    )
+    scored = e.join(F.broadcast(q)).select(
+        "qid",
+        "vec_id",
+        F.round(_dot(F.col("qv"), F.col("v")), 6).alias("score"),
+    ).filter(F.col("qid") != F.col("vec_id"))
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "vec_id", "score", "rank")
+    )
+
+
+def hyperplane_bucket(col, nbits: int = 8, dim: int = 64, seed: int = 42):
+    """Deterministic random-hyperplane LSH bucket id (0..2^nbits-1).
+
+    Hyperplane h_b component j = ±1 chosen by xxhash64(b, j, seed) — a pure
+    SQL derivation (no stored model), identical on every executor/run. The
+    sign pattern approximates a random projection; sign(v·h_b) gives bit b.
+    """
+    def _signed(b):
+        return lambda x, j: F.when(
+            F.pmod(F.xxhash64(F.lit(b), j.cast("bigint"), F.lit(seed)), F.lit(2)) == 0,
+            x,
+        ).otherwise(-x)
+
+    bits = []
+    for b in range(nbits):
+        comp = F.zip_with(col, F.sequence(F.lit(0), F.lit(dim - 1)), _signed(b))
+        proj = F.aggregate(comp, F.lit(0.0), lambda a, x: a + x)
+        bits.append(F.when(proj > 0, F.lit(1 << b)).otherwise(F.lit(0)))
+    out = F.lit(0)
+    for bit in bits:
+        out = out + bit
+    return out.cast("int")
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    nbits: int = 6,
+    dim: int = 64,
+) -> DataFrame:
+    """ANN top-k: score only within the query's LSH bucket.
+
+    Equi-join on bucket → shuffled hash join keyed on bucket id; recall
+    depends on nbits (fewer bits = bigger buckets = higher recall/cost)."""
+    e = normalize(embeddings).select("vec_id", F.col("embedding").alias("v"))
+    e = e.withColumn("bucket", hyperplane_bucket(F.col("v"), nbits, dim))
+    q = normalize(queries, "embedding").select("qid", F.col("embedding").alias("qv"))
+    q = q.withColumn("bucket", hyperplane_bucket(F.col("qv"), nbits, dim))
+    scored = (
+        e.join(q, "bucket")
+        .filter(F.col("qid") != F.col("vec_id"))
+        .select(
+            "qid", "vec_id", F.round(_dot(F.col("qv"), F.col("v")), 6).alias("score")
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "vec_id", "score", "rank")
+    )
+
+
+def cosine_pairs(embeddings: DataFrame, threshold: float = 0.95) -> DataFrame:
+    """All pairs with cosine ≥ τ, blocked by LSH bucket (near-dup dedup).
+    Exact within-bucket scoring; pigeonhole recall is approximate — raise
+    recall by lowering nbits."""
+    e = normalize(embeddings).select("vec_id", F.col("embedding").alias("v"))
+    e = e.withColumn("bucket", hyperplane_bucket(F.col("v"), nbits=4, dim=64))
+    a = e.select(F.col("vec_id").alias("a"), F.col("v").alias("va"), "bucket")
+    b = e.select(F.col("vec_id").alias("b"), F.col("v").alias("vb"), "bucket")
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", F.round(_dot(F.col("va"), F.col("vb")), 6).alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )
