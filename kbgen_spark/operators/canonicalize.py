@@ -21,7 +21,10 @@ from pyspark.sql import functions as F
 from kbgen_spark.functions.text import char_ngrams
 
 DEFAULT_K = 32  # signature width
-DEFAULT_BANDS = 8  # => r = 4 rows/band
+# 16 bands × 2 rows: collision prob ≥ 1−(1−j²)^16 → ≥ 99% for j ≥ 0.5.
+# False positives are cheap (exact-Jaccard verify filters them); false
+# negatives break canonicalization recall — bias toward recall.
+DEFAULT_BANDS = 16
 
 
 def minhash_signatures(

@@ -23,7 +23,8 @@ MAX_ITERS = 50
 
 
 def _symmetrize(edges: DataFrame) -> DataFrame:
-    e = edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+    c0, c1 = edges.columns[:2]
+    e = edges.select(F.col(c0).alias("u"), F.col(c1).alias("v"))
     return (
         e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
         .filter(F.col("u") != F.col("v"))
@@ -31,8 +32,12 @@ def _symmetrize(edges: DataFrame) -> DataFrame:
     )
 
 
-def _large_star(sym: DataFrame) -> DataFrame:
-    """For each u: m = min(Γ(u) ∪ {u}); emit (v, m) for v ∈ Γ(u), v > u."""
+def _large_star(edges: DataFrame) -> DataFrame:
+    """For each u: m = min(Γ(u) ∪ {u}); emit (v, m) for v ∈ Γ(u), v > u.
+
+    Neighborhoods are undirected — small-star emits directed (high→low)
+    edges, so symmetrize before grouping."""
+    sym = _symmetrize(edges)
     mins = sym.groupBy("u").agg(F.min("v").alias("mn"))
     mins = mins.withColumn("m", F.least(F.col("u"), F.col("mn"))).select("u", "m")
     return (

@@ -1,0 +1,73 @@
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from kbgen_spark.operators.graph import connected_components
+
+
+def _cc_oracle(edges: list[tuple], vertices: set) -> dict:
+    parent = {v: v for v in vertices}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # path-compress fully, then map to min member per component
+    comp = {}
+    for v in vertices:
+        comp.setdefault(find(v), []).append(v)
+    return {v: min(members) for members in comp.values() for v in members}
+
+
+def _run(spark, edges, vertices):
+    e = spark.createDataFrame(edges or [("x", "x")], "src string, dst string")
+    if not edges:
+        e = e.filter("1=0")
+    v = spark.createDataFrame([(x,) for x in sorted(vertices)], "id string")
+    got = {
+        r["id"]: r["component"]
+        for r in connected_components(e, vertices=v).collect()
+    }
+    assert got == _cc_oracle(edges, set(vertices)), (edges, got)
+
+
+def test_cc_chain(spark):
+    _run(spark, [("a", "b"), ("b", "c"), ("c", "d")], {"a", "b", "c", "d"})
+
+
+def test_cc_star(spark):
+    _run(spark, [("m", x) for x in "abcdef"], set("abcdefm"))
+
+
+def test_cc_two_components_and_isolated(spark):
+    _run(
+        spark,
+        [("a", "b"), ("c", "d"), ("d", "e")],
+        {"a", "b", "c", "d", "e", "z"},
+    )
+
+
+def test_cc_long_chain_log_rounds(spark):
+    vs = [f"n{i:03d}" for i in range(40)]
+    edges = list(zip(vs, vs[1:]))
+    _run(spark, edges, set(vs))
+
+
+@pytest.mark.parametrize("seed", [1, 2, 3])
+def test_cc_random_graphs(spark, seed):
+    rng = random.Random(seed)
+    vs = [f"v{i:02d}" for i in range(30)]
+    edges = [
+        (rng.choice(vs), rng.choice(vs))
+        for _ in range(25)
+    ]
+    edges = [(a, b) for a, b in edges if a != b]
+    _run(spark, edges, set(vs))

@@ -1,0 +1,162 @@
+"""Extract/link/canon unit behavior + golden end-to-end + resume
+(SURVEY.md §5.2 items 1, 2, 6)."""
+
+from __future__ import annotations
+
+import golden_gen as G
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from kbgen_spark import fixtures as FX
+from kbgen_spark.operators.canonicalize import similar_surface_edges
+from kbgen_spark.operators.extract import (
+    detect_mentions_py,
+    extract_mentions,
+)
+from kbgen_spark.operators.link import link_mentions
+from kbgen_spark.pipeline import (
+    JACCARD_T,
+    build_canon_map,
+    run_pipeline,
+    triples_fingerprint,
+)
+from kbgen_spark.plans.lineage import ParquetSnapshotStore
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_mention_udf_matches_python_reference(spark, docs, gazetteer):
+    got = (
+        extract_mentions(docs, gazetteer)
+        .orderBy("doc_id", "span_idx", "tok_start")
+        .toPandas()
+    )
+    surfaces = {r["surface_form"] for r in gazetteer.collect()}
+    by_first = {}
+    for s in surfaces:
+        by_first.setdefault(s.split(" ")[0], []).append(s)
+    exp_rows = []
+    for d in docs.collect():
+        for span_idx, s in enumerate(d["spans"]):
+            if s["kind"] != "text":
+                continue
+            for mention, tok_start in detect_mentions_py(s["text"], surfaces, by_first):
+                exp_rows.append((d["doc_id"], span_idx, s["offset"], mention, tok_start))
+    exp = pd.DataFrame(
+        exp_rows, columns=["doc_id", "span_idx", "offset", "mention", "tok_start"]
+    ).sort_values(["doc_id", "span_idx", "tok_start"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got.reset_index(drop=True), exp, check_dtype=False)
+    assert len(got) > 0
+
+
+def test_phrase_mentions_are_detected(spark, docs, gazetteer):
+    phrases = [
+        r["surface_form"]
+        for r in gazetteer.filter(F.col("surface_form").contains(" ")).collect()
+    ]
+    got = extract_mentions(docs, gazetteer)
+    n_phrase = got.filter(F.col("mention").isin(phrases)).count()
+    assert n_phrase > 0, "two-token phrase mentions must fire"
+
+
+def test_link_top1_prefers_exact_and_prior(spark):
+    gaz = spark.createDataFrame(
+        [
+            ("scan", "E1", "thing", 0.9),
+            ("scans", "E2", "thing", 0.5),
+        ],
+        "surface_form string, entity_id string, entity_type string, prior double",
+    )
+    mentions = spark.createDataFrame(
+        [("d1", 0, 0, "scan", 0)],
+        "doc_id string, span_idx int, offset int, mention string, tok_start int",
+    )
+    out = link_mentions(mentions, gaz).collect()
+    assert len(out) == 1 and out[0]["entity_id"] == "E1"
+
+
+def test_unmatched_mentions_dropped(spark):
+    gaz = spark.createDataFrame(
+        [("scan", "E1", "thing", 0.9)],
+        "surface_form string, entity_id string, entity_type string, prior double",
+    )
+    mentions = spark.createDataFrame(
+        [("d1", 0, 0, "zzz", 0)],
+        "doc_id string, span_idx int, offset int, mention string, tok_start int",
+    )
+    assert link_mentions(mentions, gaz).count() == 0
+
+
+def test_lsh_recall_equals_exact_pairs(spark, gazetteer):
+    """The LSH blocking must not lose any qualifying pair on the fixture
+    gazetteer (golden uses exact all-pairs; P=R=1.0 depends on this)."""
+    got = {
+        (r["a"], r["b"])
+        for r in similar_surface_edges(gazetteer, threshold=JACCARD_T)
+        .select("a", "b")
+        .collect()
+    }
+    gaz = gazetteer.toPandas()
+    surfaces = sorted(gaz["surface_form"].unique())
+    exp = set()
+    for i, a in enumerate(surfaces):
+        for b in surfaces[i + 1 :]:
+            sa, sb = G._bigrams(a), G._bigrams(b)
+            if len(sa & sb) / len(sa | sb) >= JACCARD_T:
+                exp.add((a, b))
+    assert got == exp
+
+
+def test_canon_map_matches_golden(spark, gazetteer):
+    got = build_canon_map(gazetteer).orderBy("entity_id").toPandas()
+    exp = (
+        G.canon_map_golden(gazetteer.toPandas())
+        .sort_values("entity_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), exp, check_dtype=False, check_like=True
+    )
+
+
+def test_e2e_matches_golden_pr_1(spark, docs, gazetteer, patterns):
+    """FIXTURES.md §4: P = R = 1.0 at fixture scale vs the pandas oracle."""
+    from kbgen_spark.metrics import prf
+
+    run = run_pipeline(spark, SF_DIR, docs=docs, gazetteer=gazetteer, patterns=patterns)
+    golden = G.run_golden(docs.toPandas(), gazetteer.toPandas(), patterns.toPandas())
+    golden_df = spark.createDataFrame(golden)
+    m = prf(run.triples, golden_df)
+    assert m["precision"] == 1.0 and m["recall"] == 1.0, m
+
+
+def test_span_sequence_preserved_end_to_end(spark, flat_docs, docs):
+    """BASELINE.json:15 — the docs table's span arrays are untouched by a
+    full pipeline run (stages only derive new tables)."""
+    before = docs.select("doc_id", "spans")
+    run_pipeline(spark, SF_DIR, docs=docs)
+    after = FX.interleave_documents(flat_docs).select("doc_id", "spans")
+    assert before.exceptAll(after).count() == 0
+    assert after.exceptAll(before).count() == 0
+
+
+def test_resume_skips_completed_stages(spark, tmp_path):
+    store = ParquetSnapshotStore(str(tmp_path / "ckpt"))
+    r1 = run_pipeline(spark, SF_DIR, store=store, stop_after="link")
+    assert r1.skipped == []
+    r2 = run_pipeline(spark, SF_DIR, store=store)
+    assert r2.skipped == ["extract", "link"]
+    fp2 = triples_fingerprint(r2.triples)
+    r3 = run_pipeline(spark, SF_DIR, store=store)
+    assert r3.skipped == ["extract", "link", "canon", "materialize"]
+    assert triples_fingerprint(r3.triples) == fp2
+    # manifest carries per-partition lineage
+    assert all("partition_rows" in s.manifest for s in r3.stages.values())
+
+
+def test_resume_output_equals_fresh_run(spark, tmp_path):
+    store = ParquetSnapshotStore(str(tmp_path / "ckpt2"))
+    resumed = run_pipeline(spark, SF_DIR, store=store)
+    fresh = run_pipeline(spark, SF_DIR)
+    assert triples_fingerprint(resumed.triples) == triples_fingerprint(fresh.triples)
