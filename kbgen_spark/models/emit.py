@@ -133,13 +133,17 @@ def emit_synthetic(
     mode: str = "m1",
     rules: DataFrame | None = None,
     emit_types: bool = False,
+    apply_caps: bool | None = None,
 ) -> DataFrame:
     """Emit ~n synthetic (subj, pred, obj) facts from a learned model.
 
-    mode ∈ {m1, m2, emi}.  m2 applies degree caps + fact-set dedup (output
-    count is ≤ n, as in kbgen's rejection sampling).  Pass ``rules`` (M3
+    mode ∈ {m1, m2, emi}.  m2/emi apply degree caps + fact-set dedup (output
+    count is ≤ n, as in kbgen's rejection sampling); override with
+    ``apply_caps=False`` to keep the raw multiset.  Pass ``rules`` (M3
     horn-rule table) to also fire rules — see models/rules.py.
     """
+    if apply_caps is None:
+        apply_caps = mode in ("m2", "emi")
     from kbgen_spark.models.learn import multitypes as _  # noqa: F401 (doc link)
 
     dr = model["domain_range"].toPandas()
@@ -201,7 +205,7 @@ def emit_synthetic(
 
     facts = facts.select("fact_id", "subj", "pred", "obj")
 
-    if mode in ("m2", "emi") and "out_degree" in model:
+    if apply_caps and "out_degree" in model:
         facts = _apply_degree_caps(facts, model["out_degree"], seed)
         # reflexivity: predicates never observed reflexive reject s==o [P §3.2]
         reflex = model["reflexivity"].select(

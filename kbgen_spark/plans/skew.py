@@ -66,6 +66,6 @@ def salted_join(
         "_salt", salt_col(*[c for c in big.columns], buckets=buckets)
     )
     small_r = small.withColumn(
-        "_salt", F.explode(F.sequence(F.lit(0), F.lit(buckets - 1))).cast("int")
-    )
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(buckets - 1)))
+    ).withColumn("_salt", F.col("_salt").cast("int"))
     return big_s.join(small_r, [key, "_salt"], how).drop("_salt")

@@ -23,7 +23,10 @@ from pyspark.sql import functions as F
 
 def tumbling_counts(events: DataFrame, width: str = "1 hour") -> DataFrame:
     """T1 — per (window, event_type) count + value sum. Works on a batch or
-    streaming DataFrame unchanged."""
+    streaming DataFrame unchanged. ``ts`` is normalized to zoned TIMESTAMP
+    (lossless under the fixed UTC session TZ) so batch and stream schemas
+    agree and watermarks apply."""
+    events = events.withColumn("ts", F.col("ts").cast("timestamp"))
     return (
         events.groupBy(F.window("ts", width).alias("w"), "event_type")
         .agg(
@@ -57,8 +60,12 @@ def session_counts(events: DataFrame, gap: str = "5 minutes") -> DataFrame:
 def streaming_tumbling(
     events_stream: DataFrame, width: str = "1 hour", watermark: str = "1 hour"
 ) -> DataFrame:
-    """T1+T3 — the same tumbling agg with a watermark for late data."""
-    return tumbling_counts(events_stream.withWatermark("ts", watermark), width)
+    """T1+T3 — the same tumbling agg with a watermark for late data.
+
+    Event time must be TIMESTAMP (with zone); parquet sources often carry
+    TIMESTAMP_NTZ — the cast is lossless under the fixed UTC session TZ."""
+    stream = events_stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    return tumbling_counts(stream.withWatermark("ts", watermark), width)
 
 
 def streaming_dedup(events_stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
