@@ -1,38 +1,1105 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)``   — flagship: full KG pipeline at sf0.001 → triples.
+``queries()``      — one entry per implemented operator (SURVEY.md §2).
+``oracle_sql()``   — DuckDB-equivalent ANSI SQL for every SQL-expressible
+                     query (same column names/aliases, deterministic
+                     ordering-insensitive values). Non-SQL ops (pandas-UDF
+                     extraction, MinHash/xxhash64 paths, CC, emitter) have no
+                     oracle entry → driver records rows-only checks; those are
+                     covered by pytest goldens instead (tests/).
+
+Numeric policy for cross-engine equality: money sums go through
+``decimal(18,2)`` (exact, order-independent) and are rounded+cast to double;
+ratios divide exact integers in float64 (IEEE-deterministic in both engines).
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+# --------------------------------------------------------------------------
+# helpers
+# --------------------------------------------------------------------------
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query: the end-to-end KG construction pipeline at sf0.001."""
+    from kbgen_spark.pipeline import run_pipeline
+
+    return run_pipeline(spark, "/root/testdata/sf0.001").triples
+
+
+# --------------------------------------------------------------------------
+# A. aggregations
+# --------------------------------------------------------------------------
+
+
+def q1_pricing_summary(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum(dec("l_quantity")), 2).cast("double").alias("sum_qty"),
+            F.round(F.sum(dec("l_extendedprice")), 2).cast("double").alias("sum_base_price"),
+            F.round(
+                F.sum(
+                    (dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - dec("l_discount"))).cast(
+                        "decimal(28,6)"
+                    )
+                ),
+                4,
+            )
+            .cast("double")
+            .alias("sum_disc_price"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def agg_rollup_orders(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("total_price"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n_orders",
+            "total_price",
+        )
+    )
+
+
+def agg_cube_lineitem(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "n",
+        )
+    )
+
+
+def agg_distinct_counts(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    return c.groupBy("c_mktsegment").agg(
+        F.countDistinct("c_nationkey").alias("n_nations"),
+        F.count("*").alias("n_customers"),
+    )
+
+
+def agg_degree_histogram(spark, sf_dir):
+    """A4-shaped: out-degree histogram of the orders 'graph' (customer→order)."""
+    o = _t(spark, sf_dir, "orders")
+    deg = o.groupBy("o_custkey").agg(F.count("*").alias("deg"))
+    return deg.groupBy("deg").agg(F.count("*").alias("n_customers")).orderBy("deg")
+
+
+# --------------------------------------------------------------------------
+# B. joins
+# --------------------------------------------------------------------------
+
+
+def join_broadcast_chain(spark, sf_dir):
+    r = _t(spark, sf_dir, "region")
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.sum(F.col("c_acctbal").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("sum_acctbal"),
+        )
+    )
+
+
+def join_semi_customers_with_orders(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def join_anti_customers_without_orders(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    big_orders = o.filter(F.col("o_totalprice") > 450000)
+    return (
+        c.join(big_orders, c.c_custkey == big_orders.o_custkey, "left_anti")
+        .select("c_custkey", "c_mktsegment")
+    )
+
+
+def q3_top_revenue_orders(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    rev = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)"))
+    ).cast("decimal(28,6)")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("o_orderkey", "c_mktsegment")
+        .agg(F.round(F.sum(rev), 4).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+def q5_region_nation_revenue(spark, sf_dir):
+    r = _t(spark, sf_dir, "region")
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    rev = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)"))
+    ).cast("decimal(28,6)")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .filter(c.c_nationkey == s.s_nationkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(F.round(F.sum(rev), 4).cast("double").alias("revenue"))
+    )
+
+
+def join_salted_hot_key(spark, sf_dir):
+    """K2 — salted join of skewed events against a small dim; semantics equal
+    a plain join (the oracle is the plain SQL)."""
+    from kbgen_spark.plans.skew import salted_join
+
+    e = _t(spark, sf_dir, "events")
+    dim = spark.createDataFrame(
+        [("click", 1), ("view", 2), ("purchase", 10), ("signup", 5), ("error", 0)],
+        "event_type string, weight int",
+    )
+    j = salted_join(e, dim, "event_type", buckets=8)
+    return j.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.round(
+            F.sum((F.col("value").cast("decimal(18,6)") * F.col("weight")).cast("decimal(28,6)")),
+            4,
+        )
+        .cast("double")
+        .alias("weighted_value"),
+    )
+
+
+# --------------------------------------------------------------------------
+# C. windows
+# --------------------------------------------------------------------------
+
+
+def window_topk_orders_per_customer(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "rn")
+    )
+
+
+def window_lag_event_gap(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ms = F.unix_millis(F.col("ts").cast("timestamp"))
+    prev = F.lag(ms).over(w)
+    return e.select(
+        "user_id", "event_id", (ms - prev).alias("gap_ms")
+    ).filter(F.col("gap_ms").isNotNull())
+
+
+def window_rolling_sum_events(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-4, 0)
+    )
+    return e.select(
+        "user_id",
+        "event_id",
+        F.round(F.sum(F.col("value").cast("decimal(18,6)")).over(w), 4)
+        .cast("double")
+        .alias("rolling_value"),
+    )
+
+
+def window_ntile_customers(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    w = Window.orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    return c.select("c_custkey", F.ntile(4).over(w).cast("bigint").alias("quartile"))
+
+
+def window_dense_rank_parts(spark, sf_dir):
+    p = _t(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy(F.desc("p_retailprice"), F.asc("p_partkey"))
+    return p.select("p_brand", "p_partkey", F.dense_rank().over(w).cast("bigint").alias("rk")).filter(
+        F.col("rk") <= 5
+    )
+
+
+# --------------------------------------------------------------------------
+# D. sorts / top-k / per-group top-1
+# --------------------------------------------------------------------------
+
+
+def topk_expensive_parts(spark, sf_dir):
+    p = _t(spark, sf_dir, "part")
+    return (
+        p.orderBy(F.desc("p_retailprice"), F.asc("p_partkey"))
+        .limit(20)
+        .select("p_partkey", "p_name", "p_retailprice")
+    )
+
+
+def per_group_top1_order(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_custkey").agg(
+        F.expr("max_by(o_orderkey, struct(o_totalprice, o_orderkey))").alias(
+            "best_orderkey"
+        ),
+        F.max("o_totalprice").alias("best_price"),
+    )
+
+
+# --------------------------------------------------------------------------
+# E. set operations
+# --------------------------------------------------------------------------
+
+
+def set_except_customers(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    urgent = (
+        o.filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("c_custkey"))
+        .distinct()
+    )
+    rich = c.filter(F.col("c_acctbal") > 0).select("c_custkey")
+    return rich.exceptAll(urgent).distinct()
+
+
+def set_intersect_orderkeys(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    big = o.filter(F.col("o_totalprice") > 100).select(F.col("o_orderkey").alias("k"))
+    disc = li.filter(F.col("l_discount") > 0.05).select(F.col("l_orderkey").alias("k"))
+    return big.intersect(disc)
+
+
+def set_union_keys(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") == "F").select(F.col("o_orderkey").alias("k"))
+    b = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_orderkey").alias("k")
+    )
+    return a.union(b).distinct()
+
+
+# --------------------------------------------------------------------------
+# F. scalar function families
+# --------------------------------------------------------------------------
+
+
+def string_funcs_parts(spark, sf_dir):
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("uname"),
+        F.length("p_name").cast("bigint").alias("name_len"),
+        F.substring("p_name", 1, 5).alias("prefix"),
+        F.regexp_replace("p_name", "[aeiou]", "_").alias("devoweled"),
+        F.concat_ws("/", "p_brand", "p_type").alias("brand_type"),
+    )
+
+
+def math_funcs_lineitem(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 0)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.pow("l_quantity", 2), 4).alias("qty_sq"),
+        F.round(F.log(F.col("l_extendedprice") + 1), 6).alias("log_price"),
+        F.floor("l_quantity").cast("bigint").alias("qty_floor"),
+        F.round(F.sqrt("l_tax"), 6).alias("tax_sqrt"),
+    )
+
+
+def array_funcs_documents(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    return d.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("bigint").alias("n_distinct"),
+        F.array_join(F.slice(toks, 1, 3), " ").alias("first3"),
+        F.array_join(F.sort_array(F.array_distinct(toks)), ",").alias("vocab"),
+    )
+
+
+def json_funcs_events(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        e.select(k.alias("k"))
+        .groupBy("k")
+        .agg(F.count("*").alias("n"))
+        .orderBy("k")
+    )
+
+
+def date_funcs_events(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts"))
+    return (
+        e.groupBy(day.alias("day"))
+        .agg(
+            F.count("*").alias("n"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy("day")
+    )
+
+
+def hash_funcs_customers(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.md5("c_name").alias("md5_name"),
+        F.sha2(F.col("c_name"), 256).alias("sha256_name"),
+    )
+
+
+# --------------------------------------------------------------------------
+# G. time windows (streaming shapes as batch)
+# --------------------------------------------------------------------------
+
+
+def tumbling_event_counts(spark, sf_dir):
+    from kbgen_spark.streaming.ingest import tumbling_counts
+
+    return tumbling_counts(_t(spark, sf_dir, "events"), "1 hour")
+
+
+def session_window_counts(spark, sf_dir):
+    from kbgen_spark.streaming.ingest import session_counts
+
+    e = _t(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    return session_counts(e, "5 minutes")
+
+
+# --------------------------------------------------------------------------
+# H. KG pipeline — SQL-expressible derivations over the raw documents table
+# --------------------------------------------------------------------------
+
+
+def kg_gazetteer(spark, sf_dir):
+    """Unigram gazetteer derivation (FIXTURES.md §2) — frequency-ranked."""
+    from kbgen_spark import fixtures as FX
+
+    g = FX.build_gazetteer(_t(spark, sf_dir, "documents"))
+    # restrict to the SQL-mirrorable core: unigrams from the corpus (plural
+    # variants and phrases are separate surface rows; unigram rows = tokens).
+    toks = _t(spark, sf_dir, "documents").select(
+        F.explode(F.split("text", " ")).alias("tok")
+    ).distinct()
+    return (
+        g.join(toks, g.surface_form == toks.tok, "left_semi")
+        .filter(~F.col("surface_form").contains(" "))
+        .select("surface_form", "entity_id", "entity_type", F.round("prior", 8).alias("prior"))
+    )
+
+
+def kg_mentions_by_entity(spark, sf_dir):
+    """Single-token mention counts per entity (extract+link, SQL shape)."""
+    from kbgen_spark import fixtures as FX
+
+    d = _t(spark, sf_dir, "documents")
+    g = FX.build_gazetteer(d)
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    return (
+        toks.join(F.broadcast(g), toks.tok == g.surface_form)
+        .groupBy("entity_id", "entity_type")
+        .agg(
+            F.count("*").alias("n_mentions"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+    )
+
+
+def kg_cooccur_pairs(spark, sf_dir):
+    """Doc-scope co-occurrence pair counts (materialize, SQL shape)."""
+    from kbgen_spark import fixtures as FX
+
+    d = _t(spark, sf_dir, "documents")
+    g = FX.build_gazetteer(d)
+    ents = (
+        d.select("doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("tok"))
+        .join(F.broadcast(g), F.col("tok") == g.surface_form)
+        .select("doc_id", "entity_id")
+        .distinct()
+    )
+    a = ents.select("doc_id", F.col("entity_id").alias("e1"))
+    b = ents.select("doc_id", F.col("entity_id").alias("e2"))
+    return (
+        a.join(b, "doc_id")
+        .filter(F.col("e1") < F.col("e2"))
+        .groupBy("e1", "e2")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+def kg_entity_degree(spark, sf_dir):
+    pairs = kg_cooccur_pairs(spark, sf_dir)
+    both = pairs.select(F.col("e1").alias("entity")).unionByName(
+        pairs.select(F.col("e2").alias("entity"))
+    )
+    return both.groupBy("entity").agg(F.count("*").alias("degree"))
+
+
+def kg_multitype_dist(spark, sf_dir):
+    """A2 over the (unigram) gazetteer's (entity, type) pairs."""
+    g = kg_gazetteer(spark, sf_dir)
+    mt = g.groupBy("entity_id").agg(
+        F.array_join(F.sort_array(F.collect_set("entity_type")), "|").alias("mt")
+    )
+    return mt.groupBy("mt").agg(F.count("*").alias("n"))
+
+
+# --------------------------------------------------------------------------
+# I. training-data ops (SQL-expressible variants)
+# --------------------------------------------------------------------------
+
+
+def dedup_bow_exact(spark, sf_dir):
+    """Exact dedup on the bag-of-distinct-words identity."""
+    d = _t(spark, sf_dir, "documents")
+    key = F.md5(
+        F.array_join(F.sort_array(F.array_distinct(F.split("text", " "))), " ")
+    )
+    return (
+        d.groupBy(key.alias("bow_hash"))
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("keep_id"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def dedup_ngram_jaccard_pairs(spark, sf_dir):
+    from kbgen_spark.operators.dedup import dedup_ngram_jaccard
+
+    d = _t(spark, sf_dir, "documents")
+    out = dedup_ngram_jaccard(d, threshold=0.9)
+    return out.select("a", "b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def similarity_cosine_topk(spark, sf_dir):
+    from kbgen_spark.operators.similarity import cosine_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    return cosine_topk(emb, q, k=5).select(
+        "qid", "vec_id", F.col("rank").cast("bigint").alias("rank")
+    )
+
+
+def lang_id_documents(spark, sf_dir):
+    from kbgen_spark.operators.textstats import lang_id
+
+    return lang_id(_t(spark, sf_dir, "documents"))
+
+
+def quality_scores_documents(spark, sf_dir):
+    from kbgen_spark.operators.textstats import quality_score
+
+    return quality_score(_t(spark, sf_dir, "documents"))
+
+
+def token_counts_documents(spark, sf_dir):
+    from kbgen_spark.operators.textstats import token_counts
+
+    return token_counts(_t(spark, sf_dir, "documents"))
+
+
+def fingerprint_md5_documents(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", F.md5("text").alias("md5_fp"))
+
+
+def embedding_norms(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    norm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
+    return emb.select("vec_id", "label", F.round(norm, 4).alias("l2_norm"))
+
+
+# --------------------------------------------------------------------------
+# J. non-SQL-expressible ops — rows-only driver checks, pytest-covered
+# --------------------------------------------------------------------------
+
+
+def pipeline_triples(spark, sf_dir):
+    from kbgen_spark.pipeline import run_pipeline
+
+    return run_pipeline(spark, sf_dir).triples
+
+
+def pipeline_mentions_udf(spark, sf_dir):
+    from kbgen_spark import fixtures as FX
+    from kbgen_spark.operators.extract import extract_mentions
+
+    flat = FX.load_flat_documents(spark, sf_dir)
+    return extract_mentions(FX.interleave_documents(flat), FX.build_gazetteer(flat))
+
+
+def canon_components(spark, sf_dir):
+    from kbgen_spark import fixtures as FX
+    from kbgen_spark.pipeline import build_canon_map
+
+    flat = FX.load_flat_documents(spark, sf_dir)
+    return build_canon_map(FX.build_gazetteer(flat))
+
+
+def emit_m1_sample(spark, sf_dir):
+    from kbgen_spark.models.emit import emit_synthetic
+    from kbgen_spark.models.learn import learn_m1
+
+    triples = pipeline_triples(spark, sf_dir)
+    types = canon_components(spark, sf_dir).select(
+        F.col("canon_id").alias("entity"), F.col("canon_type").alias("type")
+    ).distinct()
+    model = learn_m1(triples, types)
+    return emit_synthetic(spark, model, 10_000, seed=42, mode="m1")
+
+
+def emit_m2_sample(spark, sf_dir):
+    from kbgen_spark.models.emit import emit_synthetic
+    from kbgen_spark.models.learn import learn_m2
+
+    triples = pipeline_triples(spark, sf_dir)
+    types = canon_components(spark, sf_dir).select(
+        F.col("canon_id").alias("entity"), F.col("canon_type").alias("type")
+    ).distinct()
+    model = learn_m2(triples, types)
+    return emit_synthetic(spark, model, 10_000, seed=42, mode="m2")
+
+
+def minhash_doc_pairs(spark, sf_dir):
+    from kbgen_spark.operators.dedup import dedup_minhash_lsh
+
+    return dedup_minhash_lsh(_t(spark, sf_dir, "documents"), threshold=0.5)
+
+
+def simhash_doc_pairs(spark, sf_dir):
+    from kbgen_spark.operators.dedup import dedup_simhash
+
+    return dedup_simhash(_t(spark, sf_dir, "documents"), max_hamming=3)
+
+
+def ivf_ann_topk(spark, sf_dir):
+    from kbgen_spark.operators.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("qid"), "embedding")
+    return ivf_topk(emb, q, k=5)
+
+
+def media_feature_extraction(spark, sf_dir):
+    from kbgen_spark import fixtures as FX
+    from kbgen_spark.operators.multimodal import extract_media_features, media_spans
+
+    docs = FX.interleave_documents(FX.load_flat_documents(spark, sf_dir))
+    return extract_media_features(media_spans(docs))
+
+
+# --------------------------------------------------------------------------
+# registry
+# --------------------------------------------------------------------------
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        # aggregations (A1–A9)
+        "q1_pricing_summary": q1_pricing_summary,
+        "agg_rollup_orders": agg_rollup_orders,
+        "agg_cube_lineitem": agg_cube_lineitem,
+        "agg_distinct_counts": agg_distinct_counts,
+        "agg_degree_histogram": agg_degree_histogram,
+        # joins (J1–J7, K2)
+        "join_broadcast_chain": join_broadcast_chain,
+        "join_semi_customers_with_orders": join_semi_customers_with_orders,
+        "join_anti_customers_without_orders": join_anti_customers_without_orders,
+        "q3_top_revenue_orders": q3_top_revenue_orders,
+        "q5_region_nation_revenue": q5_region_nation_revenue,
+        "join_salted_hot_key": join_salted_hot_key,
+        # windows (W1–W5)
+        "window_topk_orders_per_customer": window_topk_orders_per_customer,
+        "window_lag_event_gap": window_lag_event_gap,
+        "window_rolling_sum_events": window_rolling_sum_events,
+        "window_ntile_customers": window_ntile_customers,
+        "window_dense_rank_parts": window_dense_rank_parts,
+        # sorts / top-k (O1–O3)
+        "topk_expensive_parts": topk_expensive_parts,
+        "per_group_top1_order": per_group_top1_order,
+        # set ops (U1–U3)
+        "set_except_customers": set_except_customers,
+        "set_intersect_orderkeys": set_intersect_orderkeys,
+        "set_union_keys": set_union_keys,
+        # scalar function families (F1–F7)
+        "string_funcs_parts": string_funcs_parts,
+        "math_funcs_lineitem": math_funcs_lineitem,
+        "array_funcs_documents": array_funcs_documents,
+        "json_funcs_events": json_funcs_events,
+        "date_funcs_events": date_funcs_events,
+        "hash_funcs_customers": hash_funcs_customers,
+        # streaming shapes as batch (T1–T2)
+        "tumbling_event_counts": tumbling_event_counts,
+        "session_window_counts": session_window_counts,
+        # KG derivations (S4, P*, J4, A1–A3 shapes)
+        "kg_gazetteer": kg_gazetteer,
+        "kg_mentions_by_entity": kg_mentions_by_entity,
+        "kg_cooccur_pairs": kg_cooccur_pairs,
+        "kg_entity_degree": kg_entity_degree,
+        "kg_multitype_dist": kg_multitype_dist,
+        # training-data ops
+        "dedup_bow_exact": dedup_bow_exact,
+        "dedup_ngram_jaccard_pairs": dedup_ngram_jaccard_pairs,
+        "similarity_cosine_topk": similarity_cosine_topk,
+        "lang_id_documents": lang_id_documents,
+        "quality_scores_documents": quality_scores_documents,
+        "token_counts_documents": token_counts_documents,
+        "fingerprint_md5_documents": fingerprint_md5_documents,
+        "embedding_norms": embedding_norms,
+        # non-SQL ops (rows-only; pytest-covered — see tests/)
+        "pipeline_triples": pipeline_triples,
+        "pipeline_mentions_udf": pipeline_mentions_udf,
+        "canon_components": canon_components,
+        "emit_m1_sample": emit_m1_sample,
+        "emit_m2_sample": emit_m2_sample,
+        "minhash_doc_pairs": minhash_doc_pairs,
+        "simhash_doc_pairs": simhash_doc_pairs,
+        "ivf_ann_topk": ivf_ann_topk,
+        "media_feature_extraction": media_feature_extraction,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# --------------------------------------------------------------------------
+# DuckDB oracles
+# --------------------------------------------------------------------------
+
+_GAZ_CTE = """
+with toks as (
+    select unnest(string_split(text, ' ')) as tok from documents
+),
+uni as (
+    select tok, count(*) as cnt from toks group by tok
+),
+ranked as (
+    select tok, cnt, row_number() over (order by cnt desc, tok asc) as rank
+    from uni
+),
+gaz as (
+    select
+        tok as surface_form,
+        'E' || lpad(cast(rank as varchar), 5, '0') as entity_id,
+        case cast((rank - 1) % 3 as int)
+            when 0 then 'thing' when 1 then 'action' else 'system'
+        end as entity_type,
+        1.0 / rank as prior
+    from ranked
+)
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    langs = {
+        "en": ["the", "and", "of", "to", "a"],
+        "de": ["der", "die", "und", "das", "ist"],
+        "fr": ["le", "la", "et", "les", "des"],
+        "es": ["el", "la", "los", "que", "de"],
+        "zh": ["的", "是", "在", "了", "和"],
+    }
+
+    def inlist(ms):
+        return ", ".join(f"'{m}'" for m in ms)
+
+    all_markers = inlist([m for l in sorted(langs) for m in langs[l]])
+    hits = {
+        l: f"len(list_filter(string_split(text,' '), t -> t in ({inlist(ms)})))"
+        for l, ms in langs.items()
+    }
+    # argmax with ties → lexicographically greatest lang (mirrors Spark's
+    # array_max over struct(hits, lang))
+    mx = f"greatest({hits['en']}, {hits['de']}, {hits['fr']}, {hits['es']}, {hits['zh']})"
+    pred_lang = (
+        f"case when {mx} = 0 then 'und' "
+        f"when {hits['zh']} = {mx} then 'zh' "
+        f"when {hits['fr']} = {mx} then 'fr' "
+        f"when {hits['es']} = {mx} then 'es' "
+        f"when {hits['en']} = {mx} then 'en' "
+        f"else 'de' end"
+    )
+
+    return {
+        "q1_pricing_summary": """
+            select l_returnflag, l_linestatus,
+                cast(round(sum(cast(l_quantity as decimal(18,2))), 2) as double) as sum_qty,
+                cast(round(sum(cast(l_extendedprice as decimal(18,2))), 2) as double) as sum_base_price,
+                cast(round(sum(cast(cast(l_extendedprice as decimal(18,2)) * (cast(1 as decimal(18,2)) - cast(l_discount as decimal(18,2))) as decimal(28,6))), 4) as double) as sum_disc_price,
+                count(*) as count_order
+            from lineitem group by l_returnflag, l_linestatus
+            order by l_returnflag, l_linestatus
+        """,
+        "agg_rollup_orders": """
+            select coalesce(o_orderstatus, 'ALL') as status,
+                   coalesce(o_orderpriority, 'ALL') as priority,
+                   count(*) as n_orders,
+                   cast(round(sum(cast(o_totalprice as decimal(18,2))), 2) as double) as total_price
+            from orders group by rollup(o_orderstatus, o_orderpriority)
+        """,
+        "agg_cube_lineitem": """
+            select coalesce(l_returnflag, 'ALL') as returnflag,
+                   coalesce(l_linestatus, 'ALL') as linestatus,
+                   count(*) as n
+            from lineitem group by cube(l_returnflag, l_linestatus)
+        """,
+        "agg_distinct_counts": """
+            select c_mktsegment, count(distinct c_nationkey) as n_nations,
+                   count(*) as n_customers
+            from customer group by c_mktsegment
+        """,
+        "agg_degree_histogram": """
+            with deg as (select o_custkey, count(*) as deg from orders group by o_custkey)
+            select deg, count(*) as n_customers from deg group by deg order by deg
+        """,
+        "join_broadcast_chain": """
+            select r_name, count(*) as n_customers,
+                   cast(round(sum(cast(c_acctbal as decimal(18,2))), 2) as double) as sum_acctbal
+            from customer c join nation n on c.c_nationkey = n.n_nationkey
+            join region r on n.n_regionkey = r.r_regionkey
+            group by r_name
+        """,
+        "join_semi_customers_with_orders": """
+            select c_mktsegment, count(*) as n from customer c
+            where exists (select 1 from orders o where o.o_custkey = c.c_custkey)
+            group by c_mktsegment
+        """,
+        "join_anti_customers_without_orders": """
+            select c_custkey, c_mktsegment from customer c
+            where not exists (select 1 from orders o
+                              where o.o_custkey = c.c_custkey
+                                and o.o_totalprice > 450000)
+        """,
+        "q3_top_revenue_orders": """
+            select o_orderkey, c_mktsegment,
+                cast(round(sum(cast(cast(l_extendedprice as decimal(18,2)) * (cast(1 as decimal(18,2)) - cast(l_discount as decimal(18,2))) as decimal(28,6))), 4) as double) as revenue
+            from lineitem l join orders o on l.l_orderkey = o.o_orderkey
+            join customer c on o.o_custkey = c.c_custkey
+            group by o_orderkey, c_mktsegment
+            order by revenue desc, o_orderkey asc limit 10
+        """,
+        "q5_region_nation_revenue": """
+            select r_name, n_name,
+                cast(round(sum(cast(cast(l_extendedprice as decimal(18,2)) * (cast(1 as decimal(18,2)) - cast(l_discount as decimal(18,2))) as decimal(28,6))), 4) as double) as revenue
+            from lineitem l
+            join orders o on l.l_orderkey = o.o_orderkey
+            join customer c on o.o_custkey = c.c_custkey
+            join supplier s on l.l_suppkey = s.s_suppkey
+            join nation n on c.c_nationkey = n.n_nationkey
+            join region r on n.n_regionkey = r.r_regionkey
+            where c.c_nationkey = s.s_nationkey
+            group by r_name, n_name
+        """,
+        "join_salted_hot_key": """
+            with dim(event_type, weight) as (
+                values ('click', 1), ('view', 2), ('purchase', 10), ('signup', 5), ('error', 0)
+            )
+            select e.event_type, count(*) as n,
+                cast(round(sum(cast(cast(value as decimal(18,6)) * weight as decimal(28,6))), 4) as double) as weighted_value
+            from events e join dim d on e.event_type = d.event_type
+            group by e.event_type
+        """,
+        "window_topk_orders_per_customer": """
+            select o_custkey, o_orderkey, rn from (
+                select o_custkey, o_orderkey,
+                    row_number() over (partition by o_custkey order by o_totalprice desc, o_orderkey asc) as rn
+                from orders) t where rn <= 3
+        """,
+        "window_lag_event_gap": """
+            select user_id, event_id, gap_ms from (
+                select user_id, event_id,
+                    epoch_ms(ts) - lag(epoch_ms(ts)) over (partition by user_id order by ts, event_id) as gap_ms
+                from events) t where gap_ms is not null
+        """,
+        "window_rolling_sum_events": """
+            select user_id, event_id,
+                cast(round(sum(cast(value as decimal(18,6))) over (
+                    partition by user_id order by ts, event_id
+                    rows between 4 preceding and current row), 4) as double) as rolling_value
+            from events
+        """,
+        "window_ntile_customers": """
+            select c_custkey, ntile(4) over (order by c_acctbal desc, c_custkey asc) as quartile
+            from customer
+        """,
+        "window_dense_rank_parts": """
+            select p_brand, p_partkey, rk from (
+                select p_brand, p_partkey,
+                    dense_rank() over (partition by p_brand order by p_retailprice desc, p_partkey asc) as rk
+                from part) t where rk <= 5
+        """,
+        "topk_expensive_parts": """
+            select p_partkey, p_name, p_retailprice from part
+            order by p_retailprice desc, p_partkey asc limit 20
+        """,
+        "per_group_top1_order": """
+            select o_custkey, o_orderkey as best_orderkey, o_totalprice as best_price
+            from (
+                select o_custkey, o_orderkey, o_totalprice,
+                    row_number() over (partition by o_custkey order by o_totalprice desc, o_orderkey desc) as rn,
+                    max(o_totalprice) over (partition by o_custkey) as mx
+                from orders) t
+            where rn = 1
+        """,
+        "set_except_customers": """
+            select distinct c_custkey from (
+                select c_custkey from customer where c_acctbal > 0
+                except all
+                select distinct o_custkey as c_custkey from orders
+                where o_orderpriority = '1-URGENT') t
+        """,
+        "set_intersect_orderkeys": """
+            select o_orderkey as k from orders where o_totalprice > 100
+            intersect
+            select l_orderkey as k from lineitem where l_discount > 0.05
+        """,
+        "set_union_keys": """
+            select distinct k from (
+                select o_orderkey as k from orders where o_orderstatus = 'F'
+                union all
+                select o_orderkey as k from orders where o_orderpriority = '1-URGENT') t
+        """,
+        "string_funcs_parts": """
+            select p_partkey, upper(p_name) as uname, length(p_name) as name_len,
+                substring(p_name, 1, 5) as prefix,
+                regexp_replace(p_name, '[aeiou]', '_', 'g') as devoweled,
+                concat_ws('/', p_brand, p_type) as brand_type
+            from part
+        """,
+        "math_funcs_lineitem": """
+            select l_orderkey, l_linenumber,
+                round(pow(l_quantity, 2), 4) as qty_sq,
+                round(ln(l_extendedprice + 1), 6) as log_price,
+                cast(floor(l_quantity) as bigint) as qty_floor,
+                round(sqrt(l_tax), 6) as tax_sqrt
+            from lineitem where l_quantity > 0
+        """,
+        "array_funcs_documents": """
+            select doc_id,
+                len(string_split(text, ' ')) as n_tokens,
+                len(list_distinct(string_split(text, ' '))) as n_distinct,
+                array_to_string(list_slice(string_split(text, ' '), 1, 3), ' ') as first3,
+                array_to_string(list_sort(list_distinct(string_split(text, ' '))), ',') as vocab
+            from documents
+        """,
+        "json_funcs_events": """
+            select cast(json_extract(props, '$.k') as int) as k, count(*) as n
+            from events group by k order by k
+        """,
+        "date_funcs_events": """
+            select date_trunc('day', ts) as day,
+                   count(*) as n, count(distinct user_id) as n_users
+            from events group by day order by day
+        """,
+        "hash_funcs_customers": """
+            select c_custkey, md5(c_name) as md5_name, sha256(c_name) as sha256_name
+            from customer
+        """,
+        "tumbling_event_counts": """
+            select date_trunc('hour', ts) as win_start, event_type,
+                count(*) as n_events,
+                cast(round(sum(cast(value as decimal(18,6))), 6) as double) as sum_value
+            from events group by win_start, event_type
+        """,
+        "session_window_counts": """
+            with gaps as (
+                select user_id, ts,
+                    case when epoch_ms(ts) - lag(epoch_ms(ts)) over w > 300000
+                         or lag(ts) over w is null then 1 else 0 end as new_session
+                from events
+                window w as (partition by user_id order by ts)
+            ),
+            islands as (
+                select user_id, ts,
+                    sum(new_session) over (partition by user_id order by ts
+                        rows between unbounded preceding and current row) as sid
+                from gaps
+            )
+            select user_id, min(ts) as session_start, count(*) as n_events
+            from islands group by user_id, sid
+        """,
+        "kg_gazetteer": _GAZ_CTE
+        + """
+            select surface_form, entity_id, entity_type, round(prior, 8) as prior
+            from gaz
+        """,
+        "kg_mentions_by_entity": _GAZ_CTE
+        + """
+            , mention_toks as (
+                select doc_id, unnest(string_split(text, ' ')) as tok from documents
+            )
+            select entity_id, entity_type, count(*) as n_mentions,
+                   count(distinct doc_id) as n_docs
+            from mention_toks m join gaz g on m.tok = g.surface_form
+            group by entity_id, entity_type
+        """,
+        "kg_cooccur_pairs": _GAZ_CTE
+        + """
+            , ents as (
+                select distinct doc_id, entity_id
+                from (select doc_id, unnest(list_distinct(string_split(text,' '))) as tok
+                      from documents) t
+                join gaz g on t.tok = g.surface_form
+            )
+            select a.entity_id as e1, b.entity_id as e2, count(*) as n_docs
+            from ents a join ents b on a.doc_id = b.doc_id and a.entity_id < b.entity_id
+            group by e1, e2
+        """,
+        "kg_entity_degree": _GAZ_CTE
+        + """
+            , ents as (
+                select distinct doc_id, entity_id
+                from (select doc_id, unnest(list_distinct(string_split(text,' '))) as tok
+                      from documents) t
+                join gaz g on t.tok = g.surface_form
+            ),
+            pairs as (
+                select a.entity_id as e1, b.entity_id as e2
+                from ents a join ents b on a.doc_id = b.doc_id and a.entity_id < b.entity_id
+                group by e1, e2
+            )
+            select entity, count(*) as degree from (
+                select e1 as entity from pairs union all select e2 as entity from pairs) t
+            group by entity
+        """,
+        "kg_multitype_dist": _GAZ_CTE
+        + """
+            , mt as (
+                select entity_id,
+                    array_to_string(list_sort(list_distinct(list(entity_type))), '|') as mt
+                from gaz group by entity_id
+            )
+            select mt, count(*) as n from mt group by mt
+        """,
+        "dedup_bow_exact": """
+            select md5(array_to_string(list_sort(list_distinct(string_split(text,' '))), ' ')) as bow_hash,
+                count(*) as n_docs, min(doc_id) as keep_id
+            from documents group by bow_hash having count(*) > 1
+        """,
+        "dedup_ngram_jaccard_pairs": """
+            with toks as (
+                select doc_id, unnest(list_distinct(string_split(text,' '))) as tok
+                from documents
+            ),
+            sizes as (select doc_id, count(*) as sz from toks group by doc_id),
+            inter as (
+                select x.doc_id as a, y.doc_id as b, count(*) as i
+                from toks x join toks y on x.tok = y.tok and x.doc_id < y.doc_id
+                group by a, b
+            )
+            select a, b, round(jac, 6) as jaccard from (
+                select a, b, cast(i as double) / (sa.sz + sb.sz - i) as jac
+                from inter join sizes sa on inter.a = sa.doc_id
+                join sizes sb on inter.b = sb.doc_id) t
+            where jac >= 0.9
+        """,
+        "similarity_cosine_topk": """
+            with q as (select vec_id as qid, embedding as qv from embeddings where vec_id < 5),
+            scored as (
+                select qid, vec_id,
+                    round(list_dot_product(
+                        list_transform(qv, x -> cast(x as double) / sqrt(list_sum(list_transform(qv, y -> cast(y as double)*cast(y as double))))),
+                        list_transform(embedding, x -> cast(x as double) / sqrt(list_sum(list_transform(embedding, y -> cast(y as double)*cast(y as double)))))
+                    ), 6) as score
+                from embeddings, q where qid != vec_id
+            )
+            select qid, vec_id, rank from (
+                select qid, vec_id,
+                    row_number() over (partition by qid order by score desc, vec_id asc) as rank
+                from scored) t
+            where rank <= 5
+        """,
+        "lang_id_documents": f"""
+            select doc_id, {pred_lang} as pred_lang, {mx} as marker_hits
+            from documents
+        """,
+        "quality_scores_documents": f"""
+            select doc_id,
+                length(text) as len_chars,
+                len(string_split(text,' ')) as n_tokens,
+                round(cast(length(replace(text, ' ', '')) as double) / len(string_split(text,' ')), 6) as mean_tok_len,
+                round(cast(len(list_filter(string_split(text,' '), t -> t in ({all_markers}))) as double) / len(string_split(text,' ')), 6) as stopword_ratio,
+                round(cast(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) as double) / length(text), 6) as alpha_ratio,
+                round(1.0 - cast(len(list_distinct(string_split(text,' '))) as double) / len(string_split(text,' ')), 6) as repetition,
+                round(
+                    0.25 * least(cast(len(string_split(text,' ')) as double) / 100.0, 1.0)
+                  + 0.25 * (cast(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) as double) / length(text))
+                  + 0.25 * (cast(len(list_distinct(string_split(text,' '))) as double) / len(string_split(text,' ')))
+                  + 0.25 * least(5.0 * cast(len(list_filter(string_split(text,' '), t -> t in ({all_markers}))) as double) / len(string_split(text,' ')), 1.0)
+                , 6) as quality
+            from documents
+        """,
+        "token_counts_documents": """
+            select doc_id,
+                len(string_split(text,' ')) as ws_tokens,
+                len(list_distinct(string_split(text,' '))) as distinct_tokens,
+                cast(ceil(cast(length(replace(text,' ','')) as double) / 4.0) as bigint) as subword_est
+            from documents
+        """,
+        "fingerprint_md5_documents": """
+            select doc_id, md5(text) as md5_fp from documents
+        """,
+        "embedding_norms": """
+            select vec_id, label,
+                round(sqrt(list_sum(list_transform(embedding, x -> cast(x as double) * cast(x as double)))), 4) as l2_norm
+            from embeddings
+        """,
+    }

@@ -42,7 +42,7 @@ def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
         F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und")).alias(
             "pred_lang"
         ),
-        best["hits"].alias("marker_hits"),
+        best["hits"].cast("bigint").alias("marker_hits"),
     )
 
 
@@ -76,8 +76,8 @@ def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
     return docs.select(
         "doc_id",
-        F.length(text_col).alias("len_chars"),
-        n_tok.alias("n_tokens"),
+        F.length(text_col).cast("bigint").alias("len_chars"),
+        n_tok.cast("bigint").alias("n_tokens"),
         F.round(mean_tok_len, 6).alias("mean_tok_len"),
         F.round(stop_ratio, 6).alias("stopword_ratio"),
         F.round(alpha_ratio, 6).alias("alpha_ratio"),
@@ -93,8 +93,8 @@ def token_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
     non_space = F.length(F.regexp_replace(F.col(text_col), r"\s", ""))
     return docs.select(
         "doc_id",
-        F.size(toks).alias("ws_tokens"),
-        F.size(F.array_distinct(toks)).alias("distinct_tokens"),
+        F.size(toks).cast("bigint").alias("ws_tokens"),
+        F.size(F.array_distinct(toks)).cast("bigint").alias("distinct_tokens"),
         F.ceil(non_space.cast("double") / 4.0).cast("bigint").alias("subword_est"),
     )
 
