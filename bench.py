@@ -1,0 +1,113 @@
+"""Benchmark harness — one JSON line for the driver (per round), headline
+queries over $SPARK_GRAFT_SF_DIR (default sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+The KG pipeline is benchmarked over a deterministically replicated corpus
+($SPARK_GRAFT_REPLICATE × the sf documents, FIXTURES.md §1) so the timed
+region is dominated by per-doc work, not fixed costs. docs_per_sec is the
+headline throughput figure (BASELINE.md).
+
+Run: python bench.py
+Scaling evidence (local[8] vs local[32]): tools/bench_scaling.py → BENCH/.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def run_bench(
+    sf_dir: str, cpus: int, replicate: int, only_pipeline: bool = False
+) -> dict:
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as entry
+    from kbgen_spark import fixtures as FX
+    from kbgen_spark.pipeline import run_pipeline
+    from kbgen_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="kbgen_bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=max(2 * cpus, 16),
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+    n_docs = 0
+
+    # --- headline: the KG construction pipeline over a replicated corpus
+    flat = FX.load_flat_documents(spark, sf_dir)
+    docs = FX.replicate_documents(FX.interleave_documents(flat), replicate)
+    docs = docs.repartition(max(2 * cpus, 16)).localCheckpoint(eager=True)
+    n_docs = docs.count()
+    gaz = FX.build_gazetteer(flat).localCheckpoint(eager=True)
+    patterns = FX.build_relation_patterns(spark)
+
+    t0 = time.time()
+    run = run_pipeline(spark, sf_dir, docs=docs, gazetteer=gaz, patterns=patterns)
+    triples = run.triples.localCheckpoint(eager=True)
+    timings["pipeline_e2e"] = round(time.time() - t0, 3)
+
+    if not only_pipeline:
+        qs = entry.queries()
+        for name in (
+            "q1_pricing_summary",
+            "q3_top_revenue_orders",
+            "q5_region_nation_revenue",
+            "window_rolling_sum_events",
+            "tumbling_event_counts",
+            "kg_cooccur_pairs",
+            "minhash_doc_pairs",
+            "simhash_doc_pairs",
+            "dedup_ngram_jaccard_pairs",
+            "similarity_cosine_topk",
+            "lang_id_documents",
+        ):
+            t0 = time.time()
+            qs[name](spark, sf_dir).count()
+            timings[name] = round(time.time() - t0, 3)
+
+        # emitter throughput: learn from pipeline triples, emit 200k facts
+        from kbgen_spark.models.emit import emit_synthetic
+        from kbgen_spark.models.learn import learn_m1
+
+        types = (
+            gaz.select(
+                F.col("entity_id").alias("entity"),
+                F.col("entity_type").alias("type"),
+            )
+            .distinct()
+        )
+        t0 = time.time()
+        model = learn_m1(triples, types)
+        emit_synthetic(spark, model, 200_000, seed=42, mode="m1").count()
+        timings["learn_emit_200k"] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    out = {
+        "metric": "kbgen_spark headline suite wall-clock",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_dir,
+        "cpus": cpus,
+        "n_docs": n_docs,
+        "docs_per_sec": round(n_docs / timings["pipeline_e2e"], 1),
+    }
+    spark.stop()
+    return out
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    replicate = int(os.environ.get("SPARK_GRAFT_REPLICATE", "4"))
+    only_pipeline = "--pipeline-only" in sys.argv
+    print(json.dumps(run_bench(sf_dir, cpus, replicate, only_pipeline)))
+
+
+if __name__ == "__main__":
+    main()

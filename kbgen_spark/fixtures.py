@@ -42,8 +42,13 @@ def interleave_documents(flat_docs: DataFrame) -> DataFrame:
     — a single narrow projection: at 10^12 docs this stage has zero shuffles
     and is embarrassingly parallel over Iceberg file splits.
     """
-    doc_id_s = F.col("doc_id").cast("string")
-    toks = tokens("text")
+    # Project the token array once — inlining split(text) into the chunk
+    # lambdas would re-split per chunk (O(len²) per doc).
+    base = flat_docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"), tokens("text").alias("_t")
+    )
+    doc_id_s = F.col("doc_id")
+    toks = F.col("_t")
     width = (F.pmod(F.xxhash64(doc_id_s, F.lit(1)), F.lit(4)) + F.lit(3)).cast("int")
     n_chunks = F.ceil(F.size(toks).cast("double") / width).cast("int")
 
@@ -73,7 +78,7 @@ def interleave_documents(flat_docs: DataFrame) -> DataFrame:
         lambda acc, p: _fold_step(acc, p, doc_id_s),
         lambda acc: acc["acc"],
     )
-    return flat_docs.select(doc_id_s.alias("doc_id"), spans.alias("spans"))
+    return base.select("doc_id", spans.alias("spans"))
 
 
 def _fold_step(acc, p, doc_id_s):
@@ -165,18 +170,21 @@ def build_gazetteer(flat_docs: DataFrame) -> DataFrame:
             ),
         )
     )
-    # adjacent bigrams: join tok[pos] with tok[pos+1] within a doc — a narrow
-    # self-join at fixture scale; at real scale use transform over the token
-    # array instead (no shuffle). Implemented array-side here too:
-    bigrams = flat_docs.select(
-        F.explode(
-            F.expr(
-                "transform(sequence(0, greatest(size(split(text,' '))-2, 0)),"
-                " i -> concat(split(text,' ')[i], ' ', split(text,' ')[i+1]))"
-            )
-        ).alias("bg"),
-        F.size(tokens("text")).alias("ntok"),
-    ).filter(F.col("ntok") >= 2)
+    # adjacent bigrams, array-side (no shuffle). Token array is projected
+    # FIRST so the transform lambda indexes a materialized array — inlining
+    # split(text) into the lambda re-splits per element (O(len²) per doc).
+    bigrams = (
+        flat_docs.select(tokens("text").alias("t"))
+        .filter(F.size("t") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(t)-2),"
+                    " i -> concat(t[i], ' ', t[i+1]))"
+                )
+            ).alias("bg")
+        )
+    )
     n_uni = uni.count()
     bi = (
         bigrams.groupBy("bg")

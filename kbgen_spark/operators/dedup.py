@@ -159,38 +159,71 @@ def dedup_simhash(
 def dedup_ngram_jaccard(
     docs: DataFrame, threshold: float = 0.5, text_col: str = "text"
 ) -> DataFrame:
-    """Exact token-set Jaccard via inverted-index candidate generation:
+    """EXACT token-set Jaccard join with prefix filtering (the AllPairs /
+    PPJoin scheme — Bayardo et al., WWW 2007; Xiao et al., WWW 2008 — both
+    public papers).
 
-    doc → distinct tokens → token-posting join → pairs sharing ≥1 token with
-    shared-count = |∩|; |∪| = |A|+|B|−|∩|. One explode, one self-join on
-    ``tok``, one groupBy — never scores disjoint pairs. Hot tokens (stopword
-    postings) are the skew risk at scale: cap posting lists or drop
-    top-percentile document-frequency tokens before the join."""
+    A naive inverted-index join is O(Σ df²) and detonates on stopword-dense
+    corpora (every doc shares hot tokens with every other). Prefix filtering
+    keeps it exact while indexing only the first |A| − ⌈τ·|A|⌉ + 1 tokens of
+    each doc under a global rare-first token order: any pair with
+    jaccard ≥ τ must collide on a prefix token, so the candidate join runs
+    over rare-token postings only. Candidates then verify with a full
+    ``array_intersect``. Plus the length filter: τ·max(|A|,|B|) ≤ min."""
     toks = docs.select(
         F.col("doc_id"), F.explode(F.array_distinct(tokens(text_col))).alias("tok")
     )
-    sizes = toks.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    pairs = (
-        toks.alias("x")
-        .join(toks.alias("y"), "tok")
-        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
-        .groupBy(
-            F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b")
-        )
-        .agg(F.count("*").alias("inter"))
+    # global token order: rarest first (df asc, tok asc for determinism)
+    order = toks.groupBy("tok").agg(F.count("*").alias("df"))
+    order = order.select(
+        "tok",
+        F.row_number()
+        .over(Window.orderBy(F.asc("df"), F.asc("tok")))
+        .alias("r"),
     )
-    out = (
-        pairs.join(sizes.withColumnsRenamed({"doc_id": "a", "sz": "sza"}), "a")
-        .join(sizes.withColumnsRenamed({"doc_id": "b", "sz": "szb"}), "b")
+    ranked = toks.join(F.broadcast(order), "tok")
+    sets = ranked.groupBy("doc_id").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("r", "tok"))), lambda x: x["tok"]
+        ).alias("tok_arr")
+    )
+    sets = sets.select(
+        "doc_id", "tok_arr", F.size("tok_arr").alias("sz")
+    )
+    prefix_len = (
+        F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")).cast("int") + 1
+    )
+    postings = sets.select(
+        "doc_id",
+        "sz",
+        F.explode(F.slice("tok_arr", 1, prefix_len)).alias("tok"),
+    )
+    cand = (
+        postings.alias("x")
+        .join(postings.alias("y"), "tok")
+        .filter(
+            (F.col("x.doc_id") < F.col("y.doc_id"))
+            & (
+                F.lit(threshold) * F.greatest("x.sz", "y.sz")
+                <= F.least("x.sz", "y.sz")
+            )
+        )
+        .select(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
+        .distinct()
+    )
+    sa = sets.select(F.col("doc_id").alias("a"), F.col("tok_arr").alias("ta"), F.col("sz").alias("sza"))
+    sb = sets.select(F.col("doc_id").alias("b"), F.col("tok_arr").alias("tb"), F.col("sz").alias("szb"))
+    inter = F.size(F.array_intersect("ta", "tb"))
+    return (
+        cand.join(sa, "a")
+        .join(sb, "b")
         .withColumn(
             "jaccard",
-            F.col("inter").cast("double")
-            / (F.col("sza") + F.col("szb") - F.col("inter")),
+            inter.cast("double") / (F.col("sza") + F.col("szb") - inter),
         )
         .filter(F.col("jaccard") >= threshold)
         .select("a", "b", "jaccard")
     )
-    return out
 
 
 def dedup_embedding_cosine(

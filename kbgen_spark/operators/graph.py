@@ -81,14 +81,27 @@ def _edge_fingerprint(edges: DataFrame) -> tuple[int, int]:
 
 
 def connected_components(
-    edges: DataFrame, vertices: DataFrame | None = None, max_iters: int = MAX_ITERS
+    edges: DataFrame,
+    vertices: DataFrame | None = None,
+    max_iters: int = MAX_ITERS,
+    local_threshold: int = 100_000,
 ) -> DataFrame:
     """edges(src, dst) [+ optional vertices(id)] → (id, component).
 
     component = min member id of the connected component. Isolated vertices
     (present in ``vertices`` but in no edge) map to themselves.
+
+    Size-adaptive execution: a graph under ``local_threshold`` edges is
+    solved with driver-side union-find (identical result, none of the
+    O(log n) shuffle rounds); larger graphs run distributed
+    large-star/small-star. The canonicalization edge set is tiny relative to
+    the corpus (distinct near-dup surface pairs), so at 100 TB both paths
+    remain realistic — set ``local_threshold=0`` to force distributed
+    (property tests exercise both).
     """
     cur = _symmetrize(edges).localCheckpoint(eager=True)
+    if local_threshold and cur.count() <= local_threshold:
+        return _local_union_find(cur, vertices)
     prev_fp = None
     for _ in range(max_iters):
         cur = _small_star(_large_star(cur)).localCheckpoint(eager=True)
@@ -110,6 +123,31 @@ def connected_components(
         )
         comp = comp.unionByName(isolated)
     return comp
+
+
+def _local_union_find(sym: DataFrame, vertices: DataFrame | None) -> DataFrame:
+    """Driver-side union-find for small edge sets; same (id, component)
+    contract (component = min member)."""
+    rows = sym.collect()
+    parent: dict = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in rows:
+        ra, rb = find(r["u"]), find(r["v"])
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    nodes = set(parent)
+    if vertices is not None:
+        nodes |= {r[0] for r in vertices.distinct().collect()}
+    comp_rows = [(n, find(n) if n in parent else n) for n in sorted(nodes)]
+    spark = sym.sparkSession
+    return spark.createDataFrame(comp_rows, ["id", "component"])
 
 
 def canonical_representatives(components: DataFrame) -> DataFrame:

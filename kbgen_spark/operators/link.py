@@ -35,11 +35,21 @@ def link_mentions(mentions: DataFrame, gazetteer: DataFrame) -> DataFrame:
         F.col("prior")
         * (F.lit(1.0) / (F.lit(1.0) + F.levenshtein("nmention", "surface_form"))),
     )
-    w = Window.partitionBy("doc_id", "span_idx", "tok_start").orderBy(
-        F.desc("score"), F.asc("entity_id")
-    )
+    # Top-1 per mention. When the gazetteer is uniquely keyed by surface_form
+    # (one candidate per mention — the common dictionary case), the rank
+    # window would shuffle the whole mention stream for nothing: skip it.
+    # The check costs two counts of the tiny dictionary table.
+    n_all = gazetteer.count()
+    n_sf = gazetteer.select("surface_form").distinct().count()
+    if n_all == n_sf:
+        ranked = scored.withColumn("rn", F.lit(1))
+    else:
+        w = Window.partitionBy("doc_id", "span_idx", "tok_start").orderBy(
+            F.desc("score"), F.asc("entity_id")
+        )
+        ranked = scored.withColumn("rn", F.row_number().over(w))
     return (
-        scored.withColumn("rn", F.row_number().over(w))
+        ranked
         .filter(F.col("rn") == 1)
         .select(
             "doc_id",

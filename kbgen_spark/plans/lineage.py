@@ -134,9 +134,16 @@ def run_stage(
     input_fingerprint: str,
     compute: Callable[[], DataFrame],
 ) -> StageResult:
-    """Execute-or-resume one pipeline stage."""
+    """Execute-or-resume one pipeline stage.
+
+    Without a store, the stage output is still localCheckpoint'ed lazily:
+    downstream consumers fan out (triple assembly scans links four times —
+    subj/obj × doc/span scope), and without a materialization boundary the
+    pandas-UDF extract subtree would re-execute per branch."""
     if store is None:
-        return StageResult(compute(), skipped=False, manifest={})
+        return StageResult(
+            compute().localCheckpoint(eager=False), skipped=False, manifest={}
+        )
     phash = params_hash(params)
     man = store.load_manifest(stage, phash)
     if man is not None and man.get("input_fingerprint") == input_fingerprint:

@@ -32,11 +32,14 @@ def _run(spark, edges, vertices):
     if not edges:
         e = e.filter("1=0")
     v = spark.createDataFrame([(x,) for x in sorted(vertices)], "id string")
-    got = {
-        r["id"]: r["component"]
-        for r in connected_components(e, vertices=v).collect()
-    }
-    assert got == _cc_oracle(edges, set(vertices)), (edges, got)
+    exp = _cc_oracle(edges, set(vertices))
+    # both execution paths: distributed large/small-star AND local union-find
+    for thresh in (0, 100_000):
+        got = {
+            r["id"]: r["component"]
+            for r in connected_components(e, vertices=v, local_threshold=thresh).collect()
+        }
+        assert got == exp, (thresh, edges, got)
 
 
 def test_cc_chain(spark):
