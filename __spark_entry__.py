@@ -297,6 +297,33 @@ def per_group_top1_order(spark, sf_dir):
     )
 
 
+def window_percentiles(spark, sf_dir):
+    """W5 — exact interpolated percentiles per group."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
+        F.round(F.min("value"), 6).alias("vmin"),
+        F.round(F.max("value"), 6).alias("vmax"),
+    )
+
+
+def asof_join_purchases(spark, sf_dir):
+    """J8 — as-of join via union+window (no BroadcastNestedLoop): each event
+    gets the latest prior purchase value of the same user."""
+    from kbgen_spark.operators.temporal import asof_join
+
+    e = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts", "event_type")
+    p = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.round(F.max("value"), 6).alias("pvalue"))
+    )
+    out = asof_join(e, p, on="user_id", ts="ts", right_cols=["pvalue"])
+    return out.select("event_id", "user_id", "event_type", F.col("pvalue_r").alias("last_purchase_value"))
+
+
 # --------------------------------------------------------------------------
 # E. set operations
 # --------------------------------------------------------------------------
@@ -679,6 +706,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # sorts / top-k (O1–O3)
         "topk_expensive_parts": topk_expensive_parts,
         "per_group_top1_order": per_group_top1_order,
+        "window_percentiles": window_percentiles,
+        "asof_join_purchases": asof_join_purchases,
         # set ops (U1–U3)
         "set_except_customers": set_except_customers,
         "set_intersect_orderkeys": set_intersect_orderkeys,
@@ -898,6 +927,24 @@ def oracle_sql() -> dict[str, str]:
                     max(o_totalprice) over (partition by o_custkey) as mx
                 from orders) t
             where rn = 1
+        """,
+        "window_percentiles": """
+            select event_type,
+                round(quantile_cont(value, 0.5), 6) as p50,
+                round(quantile_cont(value, 0.9), 6) as p90,
+                round(min(value), 6) as vmin,
+                round(max(value), 6) as vmax
+            from events group by event_type
+        """,
+        "asof_join_purchases": """
+            with p as (
+                select user_id, ts, round(max(value), 6) as pvalue
+                from events where event_type = 'purchase' group by user_id, ts
+            )
+            select e.event_id, e.user_id, e.event_type,
+                   p.pvalue as last_purchase_value
+            from events e asof left join p
+              on e.user_id = p.user_id and e.ts >= p.ts
         """,
         "set_except_customers": """
             select distinct c_custkey from (
