@@ -399,6 +399,22 @@ def array_funcs_documents(spark, sf_dir):
     )
 
 
+def map_funcs_orders(spark, sf_dir):
+    """F4 — map construction/access; result exploded back to rows so the
+    oracle can mirror it relationally."""
+    o = _t(spark, sf_dir, "orders")
+    per = o.groupBy("o_orderstatus", "o_orderpriority").agg(F.count("*").alias("n"))
+    mapped = per.groupBy("o_orderstatus").agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("o_orderpriority", "n")))
+        ).alias("m")
+    )
+    return mapped.select(
+        "o_orderstatus",
+        F.explode("m").alias("priority", "n"),
+    )
+
+
 def json_funcs_events(spark, sf_dir):
     e = _t(spark, sf_dir, "events")
     k = F.get_json_object("props", "$.k").cast("int")
@@ -603,10 +619,21 @@ def embedding_norms(spark, sf_dir):
 # --------------------------------------------------------------------------
 
 
-def pipeline_triples(spark, sf_dir):
-    from kbgen_spark.pipeline import run_pipeline
+_PIPELINE_CACHE: dict = {}
 
-    return run_pipeline(spark, sf_dir).triples
+
+def pipeline_triples(spark, sf_dir):
+    """Full pipeline output, memoized per sf_dir (deterministic, so caching
+    is sound): the emit/canon entries below all derive from it, and without
+    the checkpoint every downstream action would replay the whole flow."""
+    key = (id(spark), sf_dir)
+    if key not in _PIPELINE_CACHE:
+        from kbgen_spark.pipeline import run_pipeline
+
+        _PIPELINE_CACHE[key] = (
+            run_pipeline(spark, sf_dir).triples.localCheckpoint(eager=True)
+        )
+    return _PIPELINE_CACHE[key]
 
 
 def pipeline_mentions_udf(spark, sf_dir):
@@ -618,11 +645,16 @@ def pipeline_mentions_udf(spark, sf_dir):
 
 
 def canon_components(spark, sf_dir):
-    from kbgen_spark import fixtures as FX
-    from kbgen_spark.pipeline import build_canon_map
+    key = (id(spark), sf_dir, "canon")
+    if key not in _PIPELINE_CACHE:
+        from kbgen_spark import fixtures as FX
+        from kbgen_spark.pipeline import build_canon_map
 
-    flat = FX.load_flat_documents(spark, sf_dir)
-    return build_canon_map(FX.build_gazetteer(flat))
+        flat = FX.load_flat_documents(spark, sf_dir)
+        _PIPELINE_CACHE[key] = build_canon_map(
+            FX.build_gazetteer(flat)
+        ).localCheckpoint(eager=True)
+    return _PIPELINE_CACHE[key]
 
 
 def emit_m1_sample(spark, sf_dir):
@@ -647,6 +679,31 @@ def emit_m2_sample(spark, sf_dir):
     ).distinct()
     model = learn_m2(triples, types)
     return emit_synthetic(spark, model, 10_000, seed=42, mode="m2")
+
+
+def emit_emi_sample(spark, sf_dir):
+    """eMi mode: entity selection ∝ degree (popularity bias)."""
+    from kbgen_spark.models.emit import emit_synthetic
+    from kbgen_spark.models.learn import learn_emi
+
+    triples = pipeline_triples(spark, sf_dir)
+    types = canon_components(spark, sf_dir).select(
+        F.col("canon_id").alias("entity"), F.col("canon_type").alias("type")
+    ).distinct()
+    model = learn_emi(triples, types)
+    return emit_synthetic(spark, model, 10_000, seed=42, mode="emi")
+
+
+def emit_m3_rules_sample(spark, sf_dir):
+    """M3: horn rules fired over the M1 emission with confidence 0.7."""
+    from kbgen_spark.models.rules import apply_rules
+
+    base = emit_m1_sample(spark, sf_dir)
+    rules = spark.createDataFrame(
+        [("P_near", "P_implied", 0.7)],
+        "body_pred string, head_pred string, confidence double",
+    )
+    return apply_rules(base, rules, seed=42)
 
 
 def minhash_doc_pairs(spark, sf_dir):
@@ -716,6 +773,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "string_funcs_parts": string_funcs_parts,
         "math_funcs_lineitem": math_funcs_lineitem,
         "array_funcs_documents": array_funcs_documents,
+        "map_funcs_orders": map_funcs_orders,
         "json_funcs_events": json_funcs_events,
         "date_funcs_events": date_funcs_events,
         "hash_funcs_customers": hash_funcs_customers,
@@ -743,6 +801,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "canon_components": canon_components,
         "emit_m1_sample": emit_m1_sample,
         "emit_m2_sample": emit_m2_sample,
+        "emit_emi_sample": emit_emi_sample,
+        "emit_m3_rules_sample": emit_m3_rules_sample,
         "minhash_doc_pairs": minhash_doc_pairs,
         "simhash_doc_pairs": simhash_doc_pairs,
         "ivf_ann_topk": ivf_ann_topk,
@@ -986,6 +1046,10 @@ def oracle_sql() -> dict[str, str]:
                 array_to_string(list_slice(string_split(text, ' '), 1, 3), ' ') as first3,
                 array_to_string(list_sort(list_distinct(string_split(text, ' '))), ',') as vocab
             from documents
+        """,
+        "map_funcs_orders": """
+            select o_orderstatus, o_orderpriority as priority, count(*) as n
+            from orders group by o_orderstatus, o_orderpriority
         """,
         "json_funcs_events": """
             select cast(json_extract(props, '$.k') as int) as k, count(*) as n

@@ -55,9 +55,16 @@ def typed_facts(triples: DataFrame, mts: DataFrame) -> DataFrame:
 
 
 def learn_m1(triples: DataFrame, types: DataFrame) -> dict[str, DataFrame]:
+    from kbgen_spark.plans.skew import salted_count
+
     mts = multitypes(types)
     tf = typed_facts(triples, mts)
-    rel_dist = triples.groupBy("pred").agg(F.count("*").alias("n")).orderBy("pred")
+    # A1 with K1 salting: real KBs are Zipfian in predicates — a plain
+    # groupBy('pred') funnels the hot predicate into one reducer. The salt
+    # phase spreads it; the final phase re-aggregates ≤ buckets rows/pred.
+    rel_dist = salted_count(
+        triples, ["pred"], salt_on=["subj", "obj"], out="n"
+    ).orderBy("pred")
     mt_dist = mts.groupBy("mt").agg(F.count("*").alias("n")).orderBy("mt")
     domain_range = (
         tf.groupBy("pred", "subj_mt", "obj_mt")

