@@ -144,8 +144,6 @@ def emit_synthetic(
     """
     if apply_caps is None:
         apply_caps = mode in ("m2", "emi")
-    from kbgen_spark.models.learn import multitypes as _  # noqa: F401 (doc link)
-
     dr = model["domain_range"].toPandas()
     mts = model["multitypes"]
 

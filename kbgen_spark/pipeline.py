@@ -105,7 +105,13 @@ def run_pipeline(
     params = {"sf_dir": sf_dir, "lsh_k": LSH_K, "bands": LSH_BANDS, "tau": JACCARD_T}
 
     ext = run_stage(
-        spark, store, "extract", params, in_fp, lambda: extract_mentions(docs, gazetteer)
+        spark,
+        store,
+        "extract",
+        params,
+        in_fp,
+        lambda: extract_mentions(docs, gazetteer),
+        fan_out=False,  # consumed only by link
     )
     run.stages["extract"] = ext
     if ext.skipped:

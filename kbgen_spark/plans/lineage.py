@@ -133,17 +133,20 @@ def run_stage(
     params: dict,
     input_fingerprint: str,
     compute: Callable[[], DataFrame],
+    fan_out: bool = True,
 ) -> StageResult:
     """Execute-or-resume one pipeline stage.
 
-    Without a store, the stage output is still localCheckpoint'ed lazily:
-    downstream consumers fan out (triple assembly scans links four times —
-    subj/obj × doc/span scope), and without a materialization boundary the
-    pandas-UDF extract subtree would re-execute per branch."""
+    Without a store, a stage whose output ``fan_out``s to multiple consumers
+    (triple assembly scans links four times — subj/obj × doc/span scope) is
+    localCheckpoint'ed lazily so its subtree executes once; single-consumer
+    stages stay fully lazy (a checkpoint there only buys block-store
+    traffic)."""
     if store is None:
-        return StageResult(
-            compute().localCheckpoint(eager=False), skipped=False, manifest={}
-        )
+        df = compute()
+        if fan_out:
+            df = df.localCheckpoint(eager=False)
+        return StageResult(df, skipped=False, manifest={})
     phash = params_hash(params)
     man = store.load_manifest(stage, phash)
     if man is not None and man.get("input_fingerprint") == input_fingerprint:

@@ -4,8 +4,6 @@ distributions within χ² tolerance; M2 caps respected; M3 rules fire."""
 
 from __future__ import annotations
 
-import math
-
 import pytest
 from pyspark.sql import functions as F
 

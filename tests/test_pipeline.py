@@ -5,7 +5,6 @@ from __future__ import annotations
 
 import golden_gen as G
 import pandas as pd
-import pytest
 from pyspark.sql import functions as F
 
 from kbgen_spark import fixtures as FX
