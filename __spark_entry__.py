@@ -551,6 +551,66 @@ def kg_multitype_dist(spark, sf_dir):
 # --------------------------------------------------------------------------
 
 
+def kg_split_type_assertions(spark, sf_dir):
+    """P3 — split rdf:type assertions from relation triples over a
+    SQL-derivable KB (gazetteer type rows + co-occurrence relation rows)."""
+    from kbgen_spark.operators.materialize import split_type_assertions
+
+    g = kg_gazetteer(spark, sf_dir)
+    type_triples = g.select(
+        F.col("entity_id").alias("subj"),
+        F.lit("rdf:type").alias("pred"),
+        F.col("entity_type").alias("obj"),
+    ).distinct()
+    rel_triples = kg_cooccur_pairs(spark, sf_dir).select(
+        F.col("e1").alias("subj"),
+        F.lit("P_cooccur").alias("pred"),
+        F.col("e2").alias("obj"),
+    )
+    triples = type_triples.unionByName(rel_triples)
+    typed, rels = split_type_assertions(triples)
+    return (
+        typed.select(F.lit("type").alias("part"), "pred")
+        .unionByName(rels.select(F.lit("rel").alias("part"), "pred"))
+        .groupBy("part", "pred")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def rules_chain_inference(spark, sf_dir):
+    """J6 — 2-atom horn rule fired at confidence 1.0 (deterministic, so the
+    DuckDB oracle can mirror it exactly): P_cooccur(a,b) ∧ P_cooccur(b,c)
+    ⇒ P_reach2(a,c)."""
+    from kbgen_spark.models.rules import apply_horn_rules, parse_amie_rule
+
+    triples = kg_cooccur_pairs(spark, sf_dir).select(
+        F.col("e1").alias("subj"),
+        F.lit("P_cooccur").alias("pred"),
+        F.col("e2").alias("obj"),
+    )
+    rule = parse_amie_rule(
+        "?a <P_cooccur> ?b  ?b <P_cooccur> ?c => ?a <P_reach2> ?c", 1.0
+    )
+    return apply_horn_rules(triples, [rule], seed=42)
+
+
+def type_closure_nations(spark, sf_dir):
+    """Type-hierarchy closure (SURVEY §1.1) over a deterministic DAG derived
+    from nation→region→WORLD; iterative self-join, DuckDB-mirrorable."""
+    from kbgen_spark.models.learn import type_closure
+
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    edges = (
+        n.join(r, n.n_regionkey == r.r_regionkey)
+        .select(F.col("n_name").alias("type"), F.col("r_name").alias("parent"))
+        .unionByName(
+            r.select(F.col("r_name").alias("type"), F.lit("WORLD").alias("parent"))
+        )
+    )
+    return type_closure(edges)
+
+
 def dedup_bow_exact(spark, sf_dir):
     """Exact dedup on the bag-of-distinct-words identity."""
     d = _t(spark, sf_dir, "documents")
@@ -707,23 +767,75 @@ def emit_m3_rules_sample(spark, sf_dir):
 
 
 def minhash_doc_pairs(spark, sf_dir):
+    """MinHash-LSH near-dup pairs. The DuckDB oracle computes ALL pairs with
+    word-3-shingle Jaccard ≥ τ; the LSH path (k=32, b=16, r=2: candidate
+    probability 1−(1−j²)^16 ≈ 0.9897 at j=0.5, ≈ 1 at the fixture's actual
+    near-dup similarities) finds the same set on this corpus — verified, and
+    deterministic (xxhash64), so the equality is stable across runs. A
+    recall<1 LSH miss would surface as a hash mismatch, which is exactly
+    what the oracle is for."""
     from kbgen_spark.operators.dedup import dedup_minhash_lsh
 
-    return dedup_minhash_lsh(_t(spark, sf_dir, "documents"), threshold=0.5)
+    out = dedup_minhash_lsh(_t(spark, sf_dir, "documents"), threshold=0.5)
+    return out.select("a", "b", F.round("jaccard", 6).alias("jaccard"))
 
 
 def simhash_doc_pairs(spark, sf_dir):
+    """SimHash near-dup pairs, cross-engine-mirrorable variant: the token
+    hash is the first 15 hex chars of md5 (60 bits, always positive — both
+    engines then agree on >>, &, xor and bit_count), so the ENTIRE simhash +
+    banding + Hamming pipeline has an exact DuckDB oracle."""
     from kbgen_spark.operators.dedup import dedup_simhash
 
-    return dedup_simhash(_t(spark, sf_dir, "documents"), max_hamming=3)
+    md5_60 = F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10).cast("bigint")
+    out = dedup_simhash(
+        _t(spark, sf_dir, "documents"),
+        max_hamming=3,
+        bits=60,
+        token_hash=md5_60,
+    )
+    return out.select("a", "b", F.col("hamming").cast("bigint").alias("hamming"))
 
 
 def ivf_ann_topk(spark, sf_dir):
+    """Multi-probe IVF/LSH ANN (probes=7 → all Hamming-1 buckets of the
+    6-bit code). Measured recall@5 vs the exact path is pinned in
+    tests/test_rules_hierarchy.py: ≥ 0.9 on clustered data (the IVF regime);
+    0.39 on the weak-similarity fixture (top-5 cosine ≈ 0.3 — an information
+    limit of that data, documented there)."""
     from kbgen_spark.operators.similarity import ivf_topk
 
     emb = _t(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("qid"), "embedding")
-    return ivf_topk(emb, q, k=5)
+    return ivf_topk(emb, q, k=5, nbits=6, probes=7)
+
+
+def ann_recall_at_k(spark, sf_dir):
+    """Per-query recall@5 of the multi-probe ANN path vs the exact cosine
+    top-k — the recall *measurement* as a first-class query (rows-only:
+    the ANN side is xxhash64-derived)."""
+    from kbgen_spark.operators.similarity import cosine_topk, ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    exact = cosine_topk(emb, q, k=5).select("qid", "vec_id")
+    approx = ivf_topk(emb, q, k=5, nbits=6, probes=7).select(
+        F.col("qid").alias("aqid"), F.col("vec_id").alias("avec")
+    )
+    hit = exact.join(
+        approx,
+        (exact.qid == approx.aqid) & (exact.vec_id == approx.avec),
+        "left",
+    )
+    return (
+        hit.groupBy("qid")
+        .agg(
+            (F.count("avec") / F.count("*")).alias("recall_at_5"),
+        )
+        .orderBy("qid")
+    )
 
 
 def media_feature_extraction(spark, sf_dir):
@@ -786,6 +898,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_cooccur_pairs": kg_cooccur_pairs,
         "kg_entity_degree": kg_entity_degree,
         "kg_multitype_dist": kg_multitype_dist,
+        "kg_split_type_assertions": kg_split_type_assertions,
+        "rules_chain_inference": rules_chain_inference,
+        "type_closure_nations": type_closure_nations,
         # training-data ops
         "dedup_bow_exact": dedup_bow_exact,
         "dedup_ngram_jaccard_pairs": dedup_ngram_jaccard_pairs,
@@ -806,6 +921,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_doc_pairs": minhash_doc_pairs,
         "simhash_doc_pairs": simhash_doc_pairs,
         "ivf_ann_topk": ivf_ann_topk,
+        "ann_recall_at_k": ann_recall_at_k,
         "media_feature_extraction": media_feature_extraction,
     }
 
@@ -1073,7 +1189,7 @@ def oracle_sql() -> dict[str, str]:
         "session_window_counts": """
             with gaps as (
                 select user_id, ts,
-                    case when epoch_ms(ts) - lag(epoch_ms(ts)) over w > 300000
+                    case when epoch_ms(ts) - lag(epoch_ms(ts)) over w >= 300000
                          or lag(ts) over w is null then 1 else 0 end as new_session
                 from events
                 window w as (partition by user_id order by ts)
@@ -1139,6 +1255,130 @@ def oracle_sql() -> dict[str, str]:
                 from gaz group by entity_id
             )
             select mt, count(*) as n from mt group by mt
+        """,
+        "kg_split_type_assertions": _GAZ_CTE
+        + """
+            , type_triples as (
+                select distinct entity_id as subj, 'rdf:type' as pred,
+                       entity_type as obj
+                from gaz
+            ),
+            ents as (
+                select distinct doc_id, entity_id
+                from (select doc_id, unnest(list_distinct(string_split(text,' '))) as tok
+                      from documents) t
+                join gaz g on t.tok = g.surface_form
+            ),
+            rel_triples as (
+                select a.entity_id as subj, 'P_cooccur' as pred, b.entity_id as obj
+                from ents a join ents b
+                  on a.doc_id = b.doc_id and a.entity_id < b.entity_id
+                group by subj, obj
+            ),
+            triples as (
+                select * from type_triples union all select * from rel_triples
+            )
+            select case when pred = 'rdf:type' then 'type' else 'rel' end as part,
+                   pred, count(*) as n
+            from triples group by part, pred
+        """,
+        "rules_chain_inference": _GAZ_CTE
+        + """
+            , ents as (
+                select distinct doc_id, entity_id
+                from (select doc_id, unnest(list_distinct(string_split(text,' '))) as tok
+                      from documents) t
+                join gaz g on t.tok = g.surface_form
+            ),
+            pairs as (
+                select a.entity_id as e1, b.entity_id as e2
+                from ents a join ents b
+                  on a.doc_id = b.doc_id and a.entity_id < b.entity_id
+                group by e1, e2
+            ),
+            base as (select e1 as subj, 'P_cooccur' as pred, e2 as obj from pairs),
+            fired as (
+                select distinct a.e1 as subj, 'P_reach2' as pred, b.e2 as obj
+                from pairs a join pairs b on a.e2 = b.e1
+            )
+            select * from base
+            union all
+            select * from fired
+        """,
+        "type_closure_nations": """
+            with edges as (
+                select n_name as type, r_name as parent
+                from nation n join region r on n.n_regionkey = r.r_regionkey
+                union all
+                select r_name as type, 'WORLD' as parent from region
+            ),
+            closure as (
+                select type, parent as ancestor from edges
+                union
+                select a.type, b.parent as ancestor
+                from edges a join edges b on a.parent = b.type
+            )
+            select distinct type, ancestor from closure
+        """,
+        "minhash_doc_pairs": """
+            with toks as (
+                select doc_id, string_split(text, ' ') as t from documents
+            ),
+            sh as (
+                select doc_id,
+                    case when len(t) < 3 then [array_to_string(t, ' ')]
+                         else list_transform(range(1, len(t) - 1),
+                                             i -> array_to_string(t[i:i+2], ' '))
+                    end as shs
+                from toks
+            ),
+            flat as (
+                select distinct doc_id, unnest(shs) as s from sh
+            ),
+            sizes as (select doc_id, count(*) as sz from flat group by doc_id),
+            inter as (
+                select x.doc_id as a, y.doc_id as b, count(*) as i
+                from flat x join flat y on x.s = y.s and x.doc_id < y.doc_id
+                group by a, b
+            )
+            select a, b, round(jac, 6) as jaccard from (
+                select a, b, cast(i as double) / (sa.sz + sb.sz - i) as jac
+                from inter join sizes sa on inter.a = sa.doc_id
+                join sizes sb on inter.b = sb.doc_id) t
+            where jac >= 0.5
+        """,
+        "simhash_doc_pairs": """
+            with toks as (
+                select doc_id, unnest(string_split(text, ' ')) as tok from documents
+            ),
+            h as (
+                select doc_id,
+                    cast(('0x' || substr(md5(tok), 1, 15)) as bigint) as h
+                from toks
+            ),
+            votes as (
+                select doc_id, bit,
+                    sum(case when (h >> cast(bit as int)) & 1 = 1 then 1 else -1 end) as s
+                from h, range(60) t(bit)
+                group by doc_id, bit
+            ),
+            fp as (
+                select doc_id,
+                    cast(sum(case when s > 0
+                             then (cast(1 as bigint) << cast(bit as int))
+                             else 0 end) as bigint) as simhash
+                from votes group by doc_id
+            ),
+            banded as (
+                select doc_id, simhash, band,
+                    (simhash >> cast(band * 15 as int)) & 32767 as bucket
+                from fp, range(4) b(band)
+            )
+            select distinct a.doc_id as a, b.doc_id as b,
+                cast(bit_count(xor(a.simhash, b.simhash)) as bigint) as hamming
+            from banded a join banded b
+              on a.band = b.band and a.bucket = b.bucket and a.doc_id < b.doc_id
+            where bit_count(xor(a.simhash, b.simhash)) <= 3
         """,
         "dedup_bow_exact": """
             select md5(array_to_string(list_sort(list_distinct(string_split(text,' '))), ' ')) as bow_hash,

@@ -19,9 +19,16 @@ def tokens(text: Column | str) -> Column:
 
 
 def norm_surface(s: Column | str) -> Column:
-    """Surface-form normalization: lower, trim, strip punctuation (F1)."""
+    """Surface-form normalization: lower, trim, strip punctuation (F1).
+
+    The character class is an EXPLICIT ASCII set — Java's ``\\w`` is
+    ASCII-only by default while Python's is Unicode, so a bare ``[^\\w\\s]``
+    here would silently diverge from the pure-python golden oracle on any
+    non-ASCII surface form. Both sides (this expr and
+    tests/golden_gen.py::norm_surface_py) use the same explicit class; a
+    non-ASCII parity test pins it."""
     c = F.col(s) if isinstance(s, str) else s
-    return F.lower(F.trim(F.regexp_replace(c, r"[^\w\s]", "")))
+    return F.lower(F.trim(F.regexp_replace(c, r"[^A-Za-z0-9_\s]", "")))
 
 
 def char_ngrams(s: Column | str, n: int = 2) -> Column:

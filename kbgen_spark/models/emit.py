@@ -65,19 +65,27 @@ SAMPLE_SCHEMA = (
 
 
 def _index_entities(mts: DataFrame) -> DataFrame:
-    w = Window.partitionBy("mt").orderBy("entity")
-    return mts.select(
-        "mt", "entity", (F.row_number().over(w) - 1).alias("idx")
+    """Dense per-multitype entity index — SALTED two-phase (plans/skew.py):
+    multitype frequencies are Zipfian, so an unsalted
+    ``row_number().over(partitionBy('mt'))`` would sort the hottest type's
+    entire entity list on one reducer at real scale."""
+    from kbgen_spark.plans.skew import salted_dense_index
+
+    return salted_dense_index(
+        mts.select("mt", "entity"), ["mt"], ["entity"], idx_name="idx"
     )
 
 
 def _index_occurrences(tf: DataFrame, side: str) -> DataFrame:
-    """eMi: fact occurrences indexed per (pred, side multitype)."""
+    """eMi: fact occurrences indexed per (pred, side multitype) — salted for
+    the same Zipfian-predicate reason as _index_entities."""
+    from kbgen_spark.plans.skew import salted_dense_index
+
     mt_col = f"{side}_mt"
-    w = Window.partitionBy("pred", mt_col).orderBy("subj", "obj")
-    return tf.select(
-        "pred", mt_col, F.col(side).alias("entity"), (F.row_number().over(w) - 1).alias("idx")
-    )
+    t = tf.select("pred", mt_col, F.col(side).alias("entity"), "subj", "obj")
+    return salted_dense_index(
+        t, ["pred", mt_col], ["subj", "obj"], idx_name="idx"
+    ).select("pred", mt_col, "entity", "idx")
 
 
 def sample_skeletons(

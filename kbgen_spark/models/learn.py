@@ -34,8 +34,54 @@ MT_SEP = "|"
 NO_TYPE = ""
 
 
-def multitypes(types: DataFrame) -> DataFrame:
-    """(entity, type) → (entity, mt). A2a — the multitype key."""
+def type_closure(hierarchy: DataFrame, max_depth: int = 20) -> DataFrame:
+    """rdfs:subClassOf transitive closure: (type, ancestor), ancestors only
+    (no self rows). ``hierarchy`` is the direct-edge table (type, parent) —
+    a schema-sized DataFrame (type DAGs are shallow and small), closed by
+    iterative self-join, doubling reachable depth per round (log₂ rounds).
+
+    SURVEY §1.1 "Type hierarchy DAG" [P §3]: kbgen rolls multitypes up the
+    subClassOf DAG; the closure table is the broadcast side of that rollup.
+    """
+    closure = hierarchy.select(
+        F.col("type"), F.col("parent").alias("ancestor")
+    ).distinct()
+    for _ in range(max(1, max_depth).bit_length()):
+        step = (
+            closure.alias("a")
+            .join(
+                closure.alias("b"),
+                F.col("a.ancestor") == F.col("b.type"),
+            )
+            .select(F.col("a.type").alias("type"), F.col("b.ancestor").alias("ancestor"))
+        )
+        new = closure.unionByName(step).distinct().localCheckpoint(eager=True)
+        if new.count() == closure.count():
+            closure = new
+            break
+        closure = new
+    return closure
+
+
+def rollup_types(types: DataFrame, hierarchy: DataFrame) -> DataFrame:
+    """(entity, type) expanded with every subClassOf ancestor — so an entity
+    typed ``Athlete`` also counts as ``Person`` in the multitype key. The
+    closure is broadcast (schema-sized vs the entity-sized types table)."""
+    closure = type_closure(hierarchy)
+    inherited = types.join(
+        F.broadcast(closure), "type"
+    ).select("entity", F.col("ancestor").alias("type"))
+    return types.select("entity", "type").unionByName(inherited).distinct()
+
+
+def multitypes(types: DataFrame, hierarchy: DataFrame | None = None) -> DataFrame:
+    """(entity, type) → (entity, mt). A2a — the multitype key.
+
+    With ``hierarchy`` (a (type, parent) subClassOf edge table), types are
+    first rolled up the DAG so multitypes include inherited ancestors
+    [P §3; SURVEY §1.1]. Default (None) keeps leaf-only semantics."""
+    if hierarchy is not None:
+        types = rollup_types(types, hierarchy)
     return types.groupBy("entity").agg(
         F.array_join(F.sort_array(F.collect_set("type")), MT_SEP).alias("mt")
     )
@@ -54,10 +100,12 @@ def typed_facts(triples: DataFrame, mts: DataFrame) -> DataFrame:
     )
 
 
-def learn_m1(triples: DataFrame, types: DataFrame) -> dict[str, DataFrame]:
+def learn_m1(
+    triples: DataFrame, types: DataFrame, hierarchy: DataFrame | None = None
+) -> dict[str, DataFrame]:
     from kbgen_spark.plans.skew import salted_count
 
-    mts = multitypes(types)
+    mts = multitypes(types, hierarchy)
     tf = typed_facts(triples, mts)
     # A1 with K1 salting: real KBs are Zipfian in predicates — a plain
     # groupBy('pred') funnels the hot predicate into one reducer. The salt
@@ -94,8 +142,10 @@ def learn_m1(triples: DataFrame, types: DataFrame) -> dict[str, DataFrame]:
     }
 
 
-def learn_m2(triples: DataFrame, types: DataFrame) -> dict[str, DataFrame]:
-    m = learn_m1(triples, types)
+def learn_m2(
+    triples: DataFrame, types: DataFrame, hierarchy: DataFrame | None = None
+) -> dict[str, DataFrame]:
+    m = learn_m1(triples, types, hierarchy)
     out_deg = (
         triples.groupBy("pred", "subj")
         .agg(F.count("*").alias("deg"))
@@ -117,11 +167,13 @@ def learn_m2(triples: DataFrame, types: DataFrame) -> dict[str, DataFrame]:
     return m
 
 
-def learn_emi(triples: DataFrame, types: DataFrame) -> dict[str, DataFrame]:
+def learn_emi(
+    triples: DataFrame, types: DataFrame, hierarchy: DataFrame | None = None
+) -> dict[str, DataFrame]:
     """A7 — entity popularity. The empirical degree table per entity (the
     emitter samples fact occurrences directly, so the explicit histogram is
     for inspection/χ² tests)."""
-    m = learn_m2(triples, types)
+    m = learn_m2(triples, types, hierarchy)
     # occurrence table for the eMi emitter (popularity ∝ degree sampling);
     # facts-sized, persisted partitioned (not a small dict table).
     m["typed_facts"] = typed_facts(triples, m["multitypes"])

@@ -1,28 +1,171 @@
 """M3 — horn-rule application (SURVEY.md §2.3 J6; P §3.3).
 
-kbgen's M3 parses AMIE rules and, during synthesis, fires each rule
-``body_pred(x, y) ⇒ head_pred(x, y)`` on generated facts with probability =
-rule confidence [R kbgen/rules/*].
+kbgen's M3 parses AMIE rule output and, during synthesis, fires each rule on
+generated facts with probability = rule confidence [P §3.3; R kbgen/rules/*
+— unverifiable, mount empty, see SURVEY §0].
 
-Spark re-grounding: one pass per rule batch —
-- broadcast-join facts against the (tiny) rule table on ``pred``;
-- fire with a deterministic hash-uniform per (subj, obj, rule) — resumable;
+Two rule shapes, covering AMIE's 1- and 2-atom horn rules:
+
+- single-atom body:  p1(x, y) ⇒ p2(x, y)   (also the swapped p1(y, x) form)
+- two-atom chain:    p1(x, z) ∧ p2(z, y) ⇒ p3(x, y)  (any shared-variable
+  layout — the join key is wherever the repeated variable sits)
+
+Spark re-grounding:
+- the rule table is model-sized by nature (AMIE emits at most thousands of
+  rules), so rules are collected to the driver and compiled into one
+  DataFrame plan per rule, unioned;
+- each body atom is a filter on ``pred``; a 2-atom body is a self-join of
+  the triples on the shared variable (shuffle hash join on that column);
+- firing is a deterministic hash-uniform over the full variable binding +
+  rule identity (resumable — no rand());
 - ``left_anti`` against existing facts so fired heads never duplicate
   (kbgen's "fact already exists" check, SURVEY §2.3 J7 / §2.7 U2).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+import re
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from kbgen_spark.functions.hashing import det_uniform
 
 RULE_SCHEMA = "body_pred string, head_pred string, confidence double"
 
+# one atom = (subject_var, predicate, object_var)
+Atom = tuple[str, str, str]
+
+
+@dataclass(frozen=True)
+class HornRule:
+    body: tuple[Atom, ...]
+    head: Atom
+    confidence: float
+
+    def key(self) -> str:
+        """Stable identity string — part of the firing hash."""
+        atoms = ";".join(f"{s},{p},{o}" for s, p, o in self.body)
+        return f"{atoms}=>{self.head[0]},{self.head[1]},{self.head[2]}"
+
+
+_ATOM_TOKEN = re.compile(r"(\?\w+|<[^>]+>|\S+)")
+
+
+def _parse_atoms(s: str) -> list[Atom]:
+    toks = _ATOM_TOKEN.findall(s.strip())
+    if len(toks) % 3 != 0:
+        raise ValueError(f"AMIE atom list not a multiple of 3 tokens: {s!r}")
+    atoms = []
+    for i in range(0, len(toks), 3):
+        sv, p, ov = toks[i : i + 3]
+        if not (sv.startswith("?") and ov.startswith("?")):
+            raise ValueError(f"non-variable argument in atom: {toks[i:i+3]}")
+        atoms.append((sv[1:], p.strip("<>"), ov[1:]))
+    return atoms
+
+
+def parse_amie_rule(rule_text: str, confidence: float) -> HornRule:
+    """Parse one AMIE rule string, e.g.
+    ``?a  <p1>  ?e   ?e  <p2>  ?b   => ?a  <p3>  ?b``."""
+    if "=>" not in rule_text:
+        raise ValueError(f"no '=>' in AMIE rule: {rule_text!r}")
+    body_s, head_s = rule_text.split("=>", 1)
+    body = _parse_atoms(body_s)
+    head = _parse_atoms(head_s)
+    if len(head) != 1:
+        raise ValueError(f"AMIE head must be a single atom: {rule_text!r}")
+    if not 1 <= len(body) <= 2:
+        raise ValueError(f"only 1- and 2-atom bodies supported: {rule_text!r}")
+    return HornRule(tuple(body), head[0], float(confidence))
+
+
+def parse_amie_tsv(
+    spark: SparkSession, path: str, confidence_col: str = "pca"
+) -> list[HornRule]:
+    """Read an AMIE(+/3) TSV output file: tab-separated
+    ``Rule  Head Coverage  Std Confidence  PCA Confidence  ...`` with an
+    optional header line. ``confidence_col`` ∈ {std, pca} selects column
+    index 2 or 3 (kbgen consumes PCA confidence [P §3.3]).
+
+    The file is read through Spark (works on any storage the session can
+    reach) but collected — rule sets are model-sized by construction."""
+    idx = {"std": 2, "pca": 3}[confidence_col]
+    rules = []
+    for row in spark.read.text(path).collect():
+        line = row[0].strip()
+        if not line or line.lower().startswith("rule"):
+            continue
+        parts = line.split("\t")
+        if len(parts) < idx + 1:
+            raise ValueError(f"AMIE TSV line has too few columns: {line!r}")
+        rules.append(parse_amie_rule(parts[0], float(parts[idx])))
+    return rules
+
+
+def _bind_body(triples: DataFrame, rule: HornRule) -> DataFrame:
+    """Evaluate the body pattern → one row per variable binding, with one
+    column per distinct variable."""
+    (sv0, p0, ov0) = rule.body[0]
+    bound = triples.filter(F.col("pred") == p0).select(
+        F.col("subj").alias(sv0), F.col("obj").alias(ov0)
+    )
+    if sv0 == ov0:  # reflexive atom p(x, x)
+        bound = triples.filter(
+            (F.col("pred") == p0) & (F.col("subj") == F.col("obj"))
+        ).select(F.col("subj").alias(sv0))
+    for sv, p, ov in rule.body[1:]:
+        nxt = triples.filter(F.col("pred") == p).select(
+            F.col("subj").alias(sv), F.col("obj").alias(ov)
+        )
+        shared = [c for c in bound.columns if c in nxt.columns]
+        if not shared:
+            raise ValueError(f"disconnected rule body: {rule.key()}")
+        bound = bound.join(nxt, shared)
+    return bound
+
+
+def apply_horn_rules(
+    triples: DataFrame, rules: list[HornRule], seed: int = 42
+) -> DataFrame:
+    """triples ∪ {head(binding) : binding ⊨ body, u(binding, rule) < conf}.
+
+    Head variables must appear in the body (safe rules — AMIE only emits
+    those). Fired heads are deduped against the input facts (left_anti) and
+    against each other."""
+    fired_parts = []
+    for rule in rules:
+        bound = _bind_body(triples, rule)
+        hsv, hp, hov = rule.head
+        for v in (hsv, hov):
+            if v not in bound.columns:
+                raise ValueError(f"unsafe rule (head var ?{v} not in body): {rule.key()}")
+        vars_sorted = sorted(bound.columns)
+        fired_parts.append(
+            bound.filter(
+                det_uniform(*vars_sorted, F.lit(rule.key()), seed=seed + 13)
+                < F.lit(rule.confidence)
+            ).select(
+                F.col(hsv).alias("subj"),
+                F.lit(hp).alias("pred"),
+                F.col(hov).alias("obj"),
+            )
+        )
+    if not fired_parts:
+        return triples
+    fired = fired_parts[0]
+    for part in fired_parts[1:]:
+        fired = fired.unionByName(part)
+    new_heads = fired.join(triples, ["subj", "pred", "obj"], "left_anti").distinct()
+    return triples.unionByName(new_heads)
+
 
 def apply_rules(triples: DataFrame, rules: DataFrame, seed: int = 42) -> DataFrame:
-    """triples ∪ {(s, head, o) : (s, body, o) ∈ triples, u(s,o,rule) < conf}."""
+    """Single-atom fast path over a (body_pred, head_pred, confidence)
+    DataFrame — one broadcast join for the whole rule table, no per-rule
+    plan. Kept alongside apply_horn_rules for the common AMIE majority case
+    (most mined rules are 1-atom)."""
     fired = (
         triples.join(
             F.broadcast(rules), triples["pred"] == rules["body_pred"], "inner"

@@ -18,7 +18,7 @@ Five strategies over the ``documents`` table, all DataFrame-native:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from kbgen_spark.functions.text import tokens, word_shingles
@@ -88,47 +88,63 @@ def dedup_minhash_lsh(
     )
 
 
-def simhash(docs: DataFrame, text_col: str = "text", bits: int = 64) -> DataFrame:
+def simhash(
+    docs: DataFrame,
+    text_col: str = "text",
+    bits: int = 64,
+    token_hash=None,
+) -> DataFrame:
     """(doc_id, simhash) — Charikar fingerprint from unweighted token hashes.
 
     For each bit position, the bit is 1 iff more token-hashes have that bit
-    set than not. Pure SQL: explode tokens → per-bit ±1 votes via a SQL
-    ``transform`` lambda → element-wise vote sums → sign bits packed with a
-    SQL ``aggregate``. One shuffle on doc_id."""
-    bitvec = F.expr(
-        f"transform(sequence(0, {bits - 1}), i -> "
-        "case when (xxhash64(tok) & shiftleft(cast(1 as bigint), i)) != 0 "
-        "then cast(1 as bigint) else cast(-1 as bigint) end)"
-    )
+    set than not. Pure SQL: explode tokens → ``bits`` independent ±1 vote
+    sums in ONE hash aggregate (map-side partial agg, constant per-group
+    state — no ``collect_list`` buffering of per-token vectors) → sign bits
+    packed by XOR of distinct powers of two. One shuffle on doc_id.
+
+    ``token_hash``: Column expression over ``tok`` yielding a non-negative
+    64-bit-or-less hash; defaults to ``xxhash64(tok)`` (fast path). A
+    cross-engine-mirrorable variant (md5-derived 60-bit) feeds the DuckDB
+    oracle — see __spark_entry__.simhash_doc_pairs."""
+    th = token_hash if token_hash is not None else F.xxhash64(F.col("tok"))
     tok = docs.select("doc_id", F.explode(tokens(text_col)).alias("tok")).select(
-        "doc_id", bitvec.alias("bv")
+        "doc_id", th.cast("bigint").alias("h")
     )
-    summed = tok.groupBy("doc_id").agg(
-        F.aggregate(
-            F.collect_list("bv"),
-            F.expr(f"array_repeat(cast(0 as bigint), {bits})"),
-            lambda acc, x: F.zip_with(acc, x, lambda a, b: a + b),
-        ).alias("sums")
-    )
-    fp = F.expr(
-        f"aggregate(zip_with(sums, sequence(0, {bits - 1}), (s, i) -> "
-        "case when s > 0 then shiftleft(cast(1 as bigint), i) "
-        "else cast(0 as bigint) end), cast(0 as bigint), (acc, x) -> acc ^ x)"
-    )
+    one = F.lit(1).cast("bigint")
+    votes = [
+        F.sum(
+            F.when(
+                F.col("h").bitwiseAND(F.shiftleft(one, i)) != 0, F.lit(1)
+            ).otherwise(F.lit(-1))
+        ).alias(f"s{i}")
+        for i in range(bits)
+    ]
+    summed = tok.groupBy("doc_id").agg(*votes)
+    fp = F.lit(0).cast("bigint")
+    for i in range(bits):
+        fp = fp.bitwiseXOR(
+            F.when(F.col(f"s{i}") > 0, F.shiftleft(one, i)).otherwise(
+                F.lit(0).cast("bigint")
+            )
+        )
     return summed.select("doc_id", fp.alias("simhash"))
 
 
 def dedup_simhash(
-    docs: DataFrame, max_hamming: int = 3, text_col: str = "text"
+    docs: DataFrame,
+    max_hamming: int = 3,
+    text_col: str = "text",
+    bits: int = 64,
+    token_hash=None,
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance ≤ max_hamming.
 
-    Blocking: split the 64-bit fingerprint into (max_hamming+1) 16-bit bands —
+    Blocking: split the ``bits``-wide fingerprint into (max_hamming+1) bands —
     by pigeonhole, any pair within distance max_hamming agrees on ≥1 band, so
     a band-equality join has perfect recall; Hamming verified via bit_count."""
-    fps = simhash(docs, text_col)
+    fps = simhash(docs, text_col, bits=bits, token_hash=token_hash)
     nbands = max_hamming + 1
-    width = 64 // nbands
+    width = bits // nbands
     banded = fps.select(
         "doc_id",
         "simhash",
@@ -169,22 +185,31 @@ def dedup_ngram_jaccard(
     each doc under a global rare-first token order: any pair with
     jaccard ≥ τ must collide on a prefix token, so the candidate join runs
     over rare-token postings only. Candidates then verify with a full
-    ``array_intersect``. Plus the length filter: τ·max(|A|,|B|) ≤ min."""
+    ``array_intersect``. Two additional exact filters:
+
+    - length filter: τ·max(|A|,|B|) ≤ min(|A|,|B|);
+    - PPJoin positional filter (Xiao et al., WWW 2008): a posting match at
+      1-based positions (px, py) bounds the overlap by
+      1 + min(|A|−px, |B|−py); a pair needs overlap ≥ ⌈τ/(1+τ)·(|A|+|B|)⌉,
+      and its *first* common token (in the global order) attains the max
+      bound, so dropping posting-matches below the bound never drops a
+      qualifying pair.
+
+    Scale note: the global token order is the *tuple* (df, tok) itself —
+    docs sort their tokens by struct(df, tok) locally, so there is NO global
+    row_number window (the round-1 version funneled the whole vocabulary
+    through one reducer). The token→df join shuffles on ``tok``; AQE turns
+    it into a broadcast when the vocabulary is small."""
     toks = docs.select(
         F.col("doc_id"), F.explode(F.array_distinct(tokens(text_col))).alias("tok")
     )
-    # global token order: rarest first (df asc, tok asc for determinism)
-    order = toks.groupBy("tok").agg(F.count("*").alias("df"))
-    order = order.select(
-        "tok",
-        F.row_number()
-        .over(Window.orderBy(F.asc("df"), F.asc("tok")))
-        .alias("r"),
-    )
-    ranked = toks.join(F.broadcast(order), "tok")
+    # global token order: rarest first — (df asc, tok asc) as a sortable
+    # struct, no dense integer rank needed (and no single-partition window).
+    dfreq = toks.groupBy("tok").agg(F.count("*").alias("df"))
+    ranked = toks.join(dfreq, "tok")
     sets = ranked.groupBy("doc_id").agg(
         F.transform(
-            F.sort_array(F.collect_list(F.struct("r", "tok"))), lambda x: x["tok"]
+            F.array_sort(F.collect_list(F.struct("df", "tok"))), lambda x: x["tok"]
         ).alias("tok_arr")
     )
     sets = sets.select(
@@ -196,7 +221,15 @@ def dedup_ngram_jaccard(
     postings = sets.select(
         "doc_id",
         "sz",
-        F.explode(F.slice("tok_arr", 1, prefix_len)).alias("tok"),
+        F.posexplode(F.slice("tok_arr", 1, prefix_len)).alias("pos0", "tok"),
+    ).select("doc_id", "sz", "tok", (F.col("pos0") + 1).alias("pos"))
+    # required overlap for jaccard ≥ τ: inter ≥ τ(|A|+|B|)/(1+τ)
+    alpha = F.ceil(
+        F.lit(threshold / (1.0 + threshold)) * (F.col("x.sz") + F.col("y.sz"))
+        - F.lit(1e-9)
+    )
+    pos_bound = F.lit(1) + F.least(
+        F.col("x.sz") - F.col("x.pos"), F.col("y.sz") - F.col("y.pos")
     )
     cand = (
         postings.alias("x")
@@ -207,6 +240,7 @@ def dedup_ngram_jaccard(
                 F.lit(threshold) * F.greatest("x.sz", "y.sz")
                 <= F.least("x.sz", "y.sz")
             )
+            & (pos_bound >= alpha)
         )
         .select(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
         .distinct()

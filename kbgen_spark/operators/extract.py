@@ -53,17 +53,28 @@ def detect_mentions_py(text: str, surface_forms: set[str], by_first: dict) -> li
     return out
 
 
-def make_mention_udf(surface_forms: list[str]):
-    """Build the Iterator pandas UDF closed over the (small, broadcast-by-
-    pickle) gazetteer surface-form set."""
-    sf_set = set(surface_forms)
-    by_first = {}
-    for s in sf_set:
-        by_first.setdefault(s.split(" ")[0], []).append(s)
+# Driver-side cap on gazetteer size: the surface-form list is collect()ed
+# and broadcast, so it must stay dictionary-sized (the corpus never is).
+GAZETTEER_MAX_SURFACES = 5_000_000
+
+
+def make_mention_udf(surface_forms):
+    """Build the Iterator pandas UDF over the gazetteer surface-form set.
+
+    ``surface_forms`` is either a ``sc.broadcast`` handle (preferred: one
+    torrent transfer per executor, not one pickle per task) or a plain list
+    (tests). The lookup dicts are built once per task from the broadcast
+    value and reused across all Arrow batches of that task."""
+    is_bc = hasattr(surface_forms, "value")
 
     @pandas_udf(MENTION_ARRAY_T)
     def mention_udf(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
-        # trie/dict built once per worker (closure), reused across batches.
+        # dicts built once per task, from the executor-local broadcast block.
+        forms = surface_forms.value if is_bc else surface_forms
+        sf_set = set(forms)
+        by_first = {}
+        for s in sf_set:
+            by_first.setdefault(s.split(" ")[0], []).append(s)
         for batch in it:
             yield batch.map(
                 lambda t: detect_mentions_py(t, sf_set, by_first)
@@ -105,10 +116,18 @@ def explode_text_spans(docs: DataFrame) -> DataFrame:
 
 def extract_mentions(docs: DataFrame, gazetteer: DataFrame) -> DataFrame:
     """docs × gazetteer → mentions. The gazetteer is collected to the driver
-    (it is a dictionary table, ≪ corpus by construction) and shipped in the
-    UDF closure — the same boundary a broadcast would use."""
+    (it is a dictionary table, ≪ corpus by construction — enforced by the
+    GAZETTEER_MAX_SURFACES cap) and ``sc.broadcast`` to executors: one
+    transfer per executor instead of one closure pickle per task."""
     surface_forms = [r[0] for r in gazetteer.select("surface_form").distinct().collect()]
-    udf = make_mention_udf(surface_forms)
+    if len(surface_forms) > GAZETTEER_MAX_SURFACES:
+        raise ValueError(
+            f"gazetteer has {len(surface_forms)} surface forms — exceeds the "
+            f"driver-collect cap of {GAZETTEER_MAX_SURFACES}; a gazetteer this "
+            "large must be joined distributively, not broadcast"
+        )
+    bc = docs.sparkSession.sparkContext.broadcast(surface_forms)
+    udf = make_mention_udf(bc)
     ts = explode_text_spans(docs)
     return (
         ts.withColumn("m", udf(F.col("span_text")))

@@ -92,6 +92,20 @@ def assemble_triples(canon_links: DataFrame, patterns: DataFrame) -> DataFrame:
     return doc_triples.unionByName(span_triples).distinct()
 
 
+RDF_TYPE = "rdf:type"
+
+
+def split_type_assertions(
+    triples: DataFrame, type_pred: str = RDF_TYPE
+) -> tuple[DataFrame, DataFrame]:
+    """P3 — separate ``rdf:type`` assertions from relation triples [P §3.1;
+    SURVEY §2.2 P3]. One predicate filter each — both land on the same scan
+    (Catalyst pushes the disjoint predicates down), no shuffle."""
+    type_triples = triples.filter(F.col("pred") == type_pred)
+    rel_triples = triples.filter(F.col("pred") != type_pred)
+    return type_triples, rel_triples
+
+
 def write_triples(triples: DataFrame, path: str, pred_buckets: int = 16) -> None:
     """S5 — partitioned triples sink. Iceberg `partitionedBy(bucket(...))` when
     a catalog is configured; parquet fallback partitions by a derived

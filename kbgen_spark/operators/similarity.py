@@ -93,15 +93,33 @@ def ivf_topk(
     k: int = 5,
     nbits: int = 6,
     dim: int = 64,
+    probes: int = 1,
 ) -> DataFrame:
-    """ANN top-k: score only within the query's LSH bucket.
+    """ANN top-k: score only within the query's LSH bucket(s).
 
     Equi-join on bucket → shuffled hash join keyed on bucket id; recall
-    depends on nbits (fewer bits = bigger buckets = higher recall/cost)."""
+    depends on nbits (fewer bits = bigger buckets = higher recall/cost) and
+    ``probes``: multi-probe LSH (Lv et al., VLDB 2007) additionally visits
+    the Hamming-1 neighbor buckets of the query's bucket — flipping each of
+    the first (probes−1) bits — because a near neighbor that straddles one
+    hyperplane lands exactly one bit-flip away. probes = nbits+1 visits all
+    Hamming-1 buckets; measured recall@5 vs the exact path is pinned in
+    tests/test_ops.py::test_ivf_recall. Only the QUERY side fans out ×probes
+    (queries ≪ corpus), the corpus is still hashed once."""
     e = normalize(embeddings).select("vec_id", F.col("embedding").alias("v"))
     e = e.withColumn("bucket", hyperplane_bucket(F.col("v"), nbits, dim))
     q = normalize(queries, "embedding").select("qid", F.col("embedding").alias("qv"))
     q = q.withColumn("bucket", hyperplane_bucket(F.col("qv"), nbits, dim))
+    if probes > 1:
+        nflip = min(probes - 1, nbits)
+        probe_arr = F.array(
+            F.col("bucket"),
+            *[
+                F.col("bucket").bitwiseXOR(F.lit(1 << i)).cast("int")
+                for i in range(nflip)
+            ],
+        )
+        q = q.select("qid", "qv", F.explode(probe_arr).alias("bucket"))
     scored = (
         e.join(q, "bucket")
         .filter(F.col("qid") != F.col("vec_id"))
@@ -109,6 +127,9 @@ def ivf_topk(
             "qid", "vec_id", F.round(_dot(F.col("qv"), F.col("v")), 6).alias("score")
         )
     )
+    if probes > 1:
+        # a (query, vector) pair can collide in several probed buckets
+        scored = scored.dropDuplicates(["qid", "vec_id"])
     w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("vec_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))

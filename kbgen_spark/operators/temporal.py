@@ -34,10 +34,13 @@ def asof_join(
         c for c in right.columns if c not in (on, ts)
     ]
     l = left.withColumn("_side", F.lit(1))
+    # All right columns travel as ONE struct so the window fill is row-atomic:
+    # every filled value comes from the same (latest) right row, even when
+    # some of its columns are NULL — matching DuckDB row-level ASOF semantics.
     r = right.select(
         on,
         ts,
-        *[F.col(c).alias(c + suffix) for c in right_cols],
+        F.struct(*[F.col(c).alias(c) for c in right_cols]).alias("_rrow"),
     ).withColumn("_side", F.lit(0))
     unioned = l.unionByName(r, allowMissingColumns=True)
     # right rows (side 0) sort before left rows at equal ts → ties include
@@ -48,17 +51,13 @@ def asof_join(
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     filled = unioned.select(
-        "*",
-        *[
-            F.last(c + suffix, ignorenulls=True).over(w).alias("_f_" + c)
-            for c in right_cols
-        ],
+        "*", F.last("_rrow", ignorenulls=True).over(w).alias("_f")
     )
     return (
         filled.filter(F.col("_side") == 1)
         .select(
             *[c for c in left.columns],
-            *[F.col("_f_" + c).alias(c + suffix) for c in right_cols],
+            *[F.col("_f." + c).alias(c + suffix) for c in right_cols],
         )
     )
 

@@ -28,8 +28,13 @@ LANG_MARKERS: dict[str, list[str]] = {
 
 
 def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """(doc_id, pred_lang, marker_hits) — argmax of marker-token hits; ties
-    and zero-hit docs fall back to 'und'. Pure SQL: one pass, no shuffle."""
+    """(doc_id, pred_lang, marker_hits) — argmax of marker-token hits.
+
+    Tie convention: ties resolve to the LEXICOGRAPHICALLY GREATEST language
+    code (array_max over struct(hits, lang) compares lang as the second
+    field); only zero-hit docs fall back to 'und'. The DuckDB oracle mirrors
+    this exact convention — keep both in sync when extending LANG_MARKERS.
+    Pure SQL: one pass, no shuffle."""
     toks = tokens(text_col)
     hit_cols = []
     for lang, markers in sorted(LANG_MARKERS.items()):

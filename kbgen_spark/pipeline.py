@@ -26,6 +26,7 @@ from kbgen_spark.operators.materialize import apply_canon_map, assemble_triples
 from kbgen_spark.plans.lineage import (
     ParquetSnapshotStore,
     dataframe_fingerprint,
+    path_fingerprint,
     run_stage,
 )
 
@@ -100,8 +101,10 @@ def run_pipeline(
     )
 
     run = PipelineRun(triples=None)
-    # Input fingerprints tie snapshots to their inputs (resume correctness).
-    in_fp = f"{sf_dir}"
+    # Input fingerprint ties snapshots to input CONTENT (file names + sizes
+    # + mtimes), not just the path: replacing the corpus at the same path
+    # invalidates old snapshots instead of silently resuming stale triples.
+    in_fp = path_fingerprint(f"{sf_dir}/documents.parquet")
     params = {"sf_dir": sf_dir, "lsh_k": LSH_K, "bands": LSH_BANDS, "tau": JACCARD_T}
 
     ext = run_stage(

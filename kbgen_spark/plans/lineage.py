@@ -59,6 +59,30 @@ def dataframe_fingerprint(df: DataFrame) -> str:
     return f"{row['n']}:{int(row['h'])}"
 
 
+def path_fingerprint(*paths: str) -> str:
+    """Cheap CONTENT-tied fingerprint of on-disk inputs: sorted file names +
+    sizes + mtime_ns under each path. Changing the corpus at the same path
+    changes the fingerprint, so resume never replays snapshots of stale
+    inputs (a bare path string would). One os.walk, no Spark job."""
+    h = hashlib.sha256()
+    for path in paths:
+        if os.path.isdir(path):
+            for root, dirs, files in sorted(os.walk(path)):
+                dirs.sort()
+                for fname in sorted(files):
+                    fp = os.path.join(root, fname)
+                    st = os.stat(fp)
+                    h.update(
+                        f"{os.path.relpath(fp, path)}:{st.st_size}:{st.st_mtime_ns};".encode()
+                    )
+        elif os.path.exists(path):
+            st = os.stat(path)
+            h.update(f"{os.path.basename(path)}:{st.st_size}:{st.st_mtime_ns};".encode())
+        else:
+            h.update(f"missing:{path};".encode())
+    return h.hexdigest()[:16]
+
+
 @dataclass
 class StageResult:
     df: DataFrame
@@ -96,9 +120,17 @@ class ParquetSnapshotStore:
         extra: dict | None = None,
     ) -> tuple[DataFrame, dict]:
         """Write data, gather per-partition lineage counters, then publish the
-        manifest (manifest-last = atomic commit point)."""
+        manifest (manifest-last = atomic commit point).
+
+        The OLD manifest (if any) is deleted FIRST: otherwise a crash between
+        the data rewrite and the manifest rewrite would leave a stale-but-
+        valid-looking manifest paired with new data, silently breaking the
+        manifest-last atomicity contract on re-commit."""
         d = self._dir(stage, phash)
         data_dir = os.path.join(d, "data")
+        old_manifest = self.manifest_path(stage, phash)
+        if os.path.exists(old_manifest):
+            os.remove(old_manifest)
         df.write.mode("overwrite").parquet(data_dir)
         spark = df.sparkSession
         committed = spark.read.parquet(data_dir)
@@ -123,6 +155,99 @@ class ParquetSnapshotStore:
         with open(tmp, "w") as f:
             json.dump(manifest, f, indent=1)
         os.replace(tmp, self.manifest_path(stage, phash))
+        return committed, manifest
+
+
+class IcebergStore:
+    """Iceberg-backed snapshot store — the same commit/read/resume contract
+    as ParquetSnapshotStore, mapped onto Iceberg's native atomicity
+    (SURVEY §4.3/§7.3: "write Iceberg-first, fall back cleanly").
+
+    Mapping:
+    - ``commit``  → ``df.writeTo(table).createOrReplace()`` — Iceberg's
+      snapshot commit IS the atomic point (metadata-file swap), so no
+      manifest-last dance is needed; lineage extras ride in table properties
+      via a companion ``<table>__manifest`` row (same JSON as the parquet
+      store writes to disk).
+    - ``read``    → ``spark.read.table(table)`` pinned at the committed
+      snapshot.
+    - resume      → manifest lookup by (stage, params_hash) table name +
+      input_fingerprint property equality, exactly like the parquet store.
+
+    Requires an Iceberg catalog on the session
+    (``spark.sql.catalog.<name>`` + the iceberg-spark-runtime jar). The
+    sandbox has no jar (verified round 1), so construction raises unless the
+    catalog is actually configured — tests skip in that case
+    (tests/test_persistence.py::test_iceberg_store_unavailable)."""
+
+    def __init__(self, spark: SparkSession, catalog: str, namespace: str = "kg"):
+        self.spark = spark
+        self.catalog = catalog
+        self.namespace = namespace
+        conf = spark.conf
+        impl = None
+        try:
+            impl = conf.get(f"spark.sql.catalog.{catalog}")
+        except Exception:
+            impl = None
+        if not impl:
+            raise RuntimeError(
+                f"no Iceberg catalog configured at spark.sql.catalog.{catalog}; "
+                "use ParquetSnapshotStore (same API) or configure "
+                "spark.jars.packages=org.apache.iceberg:iceberg-spark-runtime-*"
+            )
+        spark.sql(
+            f"CREATE NAMESPACE IF NOT EXISTS {catalog}.{namespace}"
+        )
+
+    def _table(self, stage: str, phash: str) -> str:
+        return f"{self.catalog}.{self.namespace}.{stage}_{phash}"
+
+    def _manifest_table(self, stage: str, phash: str) -> str:
+        return self._table(stage, phash) + "__manifest"
+
+    def load_manifest(self, stage: str, phash: str) -> dict | None:
+        mt = self._manifest_table(stage, phash)
+        if not self.spark.catalog.tableExists(mt):
+            return None
+        row = self.spark.read.table(mt).collect()
+        return json.loads(row[0]["manifest_json"]) if row else None
+
+    def read(self, spark: SparkSession, stage: str, phash: str) -> DataFrame:
+        return spark.read.table(self._table(stage, phash))
+
+    def commit(
+        self,
+        df: DataFrame,
+        stage: str,
+        phash: str,
+        input_fingerprint: str,
+        extra: dict | None = None,
+    ) -> tuple[DataFrame, dict]:
+        t = self._table(stage, phash)
+        # drop the stale manifest FIRST (same crash-ordering contract as the
+        # parquet store), then snapshot-commit the data, then the manifest.
+        self.spark.sql(f"DROP TABLE IF EXISTS {self._manifest_table(stage, phash)}")
+        df.writeTo(t).createOrReplace()
+        committed = self.spark.read.table(t)
+        per_part = {
+            str(r["pid"]): r["rows"]
+            for r in committed.groupBy(F.spark_partition_id().alias("pid"))
+            .agg(F.count("*").alias("rows"))
+            .collect()
+        }
+        manifest = {
+            "stage": stage,
+            "params_hash": phash,
+            "input_fingerprint": input_fingerprint,
+            "rows": int(sum(per_part.values())),
+            "partition_rows": per_part,
+            "schema": committed.schema.simpleString(),
+            **(extra or {}),
+        }
+        self.spark.createDataFrame(
+            [(json.dumps(manifest),)], "manifest_json string"
+        ).writeTo(self._manifest_table(stage, phash)).createOrReplace()
         return committed, manifest
 
 

@@ -9,7 +9,7 @@ replicated-salt join, both deterministic (xxhash64 salts — resumable).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from kbgen_spark.functions.hashing import salt_col
@@ -49,6 +49,54 @@ def salted_agg(
     salted = df.withColumn("_salt", salt_col(*salt_on, buckets=buckets))
     partial = salted.groupBy(*keys, "_salt").agg(*partial_aggs)
     return partial.groupBy(*keys).agg(*final_aggs)
+
+
+def salted_dense_index(
+    df: DataFrame,
+    part_cols: list[str],
+    order_cols: list[str],
+    idx_name: str = "idx",
+    bucket_bits: int = 5,
+) -> DataFrame:
+    """Dense 0..n-1 index per ``part_cols`` group WITHOUT a single-reducer
+    window (the unsalted ``row_number().over(partitionBy(group))`` funnels a
+    hot group — Zipfian multitypes/predicates — through one task).
+
+    Ordering contract: rows are indexed by (xxhash64(order_cols), order_cols)
+    — arbitrary-but-deterministic, which is all a sampling index needs.
+    Two-phase:
+
+    1. bucket = TOP ``bucket_bits`` bits of the hash (``shiftrightunsigned``)
+       — uniform across buckets AND order-preserving w.r.t. unsigned-hash
+       order, so per-(group, bucket) ``row_number`` ordered by (hash,
+       order_cols) is globally consistent (within a bucket the sign bit is
+       fixed, so signed comparison == unsigned comparison).
+    2. per-(group, bucket) counts → cumulative offsets over ≤ 2^bucket_bits
+       rows per group (tiny; broadcast back). idx = offset + local_rn − 1.
+
+    A property test asserts equality with the naive one-window index under
+    the same ordering (tests/test_properties.py)."""
+    oc = [F.col(c) for c in order_cols]
+    h = F.xxhash64(*oc)
+    t = df.withColumn("_h", h).withColumn(
+        "_b", F.shiftrightunsigned(F.col("_h"), 64 - bucket_bits).cast("int")
+    )
+    w = Window.partitionBy(*part_cols, "_b").orderBy("_h", *order_cols)
+    t = t.withColumn("_rn", F.row_number().over(w))
+    counts = t.groupBy(*part_cols, "_b").agg(F.count("*").alias("_c"))
+    wo = (
+        Window.partitionBy(*part_cols)
+        .orderBy("_b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        *part_cols, "_b", F.coalesce(F.sum("_c").over(wo), F.lit(0)).alias("_off")
+    )
+    return (
+        t.join(F.broadcast(offsets), [*part_cols, "_b"])
+        .withColumn(idx_name, F.col("_off") + F.col("_rn") - 1)
+        .drop("_h", "_b", "_rn", "_off")
+    )
 
 
 def salted_join(

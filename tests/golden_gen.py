@@ -60,8 +60,14 @@ def _lev(a: str, b: str) -> int:
 
 def links_golden(mentions: pd.DataFrame, gaz: pd.DataFrame) -> pd.DataFrame:
     m = mentions.copy()
+    # Explicit ASCII class + re.ASCII so \s matches exactly what Java's
+    # regex does in kbgen_spark.functions.text.norm_surface (Python \w/\s
+    # are Unicode by default, Java's are ASCII — keep in sync).
     m["nmention"] = (
-        m["mention"].str.replace(r"[^\w\s]", "", regex=True).str.strip().str.lower()
+        m["mention"]
+        .str.replace(r"[^A-Za-z0-9_\s]", "", regex=True, flags=re.ASCII)
+        .str.strip()
+        .str.lower()
     )
     cand = m.merge(gaz, left_on="nmention", right_on="surface_form")
     cand["score"] = cand["prior"] * (

@@ -42,3 +42,22 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
     q.awaitTermination(120)
     got = spark.sql("select count(*) as n, count(distinct event_id) as d from dedup_test").collect()[0]
     assert got["n"] == got["d"] == events.select("event_id").distinct().count()
+
+
+def test_iceberg_store_unavailable_raises(spark):
+    """No Iceberg catalog/jar in the sandbox (verified round 1): the adapter
+    must refuse construction with an actionable message instead of failing
+    later mid-commit. With a configured catalog the same API as
+    ParquetSnapshotStore applies (plans/lineage.py::IcebergStore)."""
+    import pytest as _pytest
+
+    from kbgen_spark.plans.lineage import IcebergStore
+
+    try:
+        configured = bool(spark.conf.get("spark.sql.catalog.kg"))
+    except Exception:
+        configured = False
+    if configured:
+        _pytest.skip("Iceberg catalog actually configured; exercised elsewhere")
+    with _pytest.raises(RuntimeError, match="Iceberg catalog"):
+        IcebergStore(spark, catalog="kg")
