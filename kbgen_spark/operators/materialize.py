@@ -37,13 +37,30 @@ def apply_canon_map(links: DataFrame, canon_map: DataFrame) -> DataFrame:
     )
 
 
-def assemble_triples(canon_links: DataFrame, patterns: DataFrame) -> DataFrame:
-    """canon links × patterns → distinct (subj, pred, obj)."""
+def assemble_triples(
+    canon_links: DataFrame, patterns: DataFrame, pair_partitions: int | None = None
+) -> DataFrame:
+    """canon links × patterns → distinct (subj, pred, obj).
+
+    Parallelism note (measured, BENCH/BASELINE.md round 2): the per-doc pair
+    joins EXPAND their input (up to |ents/doc|² output rows per input row),
+    but their *input* is small in bytes — so AQE's partition coalescing,
+    which only sees map-output bytes, squeezes the join down to a handful of
+    tasks and the heaviest stage of the pipeline stops scaling with cores.
+    The explicit ``repartition(pair_partitions, join key)`` pins the
+    expansion's parallelism (user repartitions are exempt from AQE
+    coalescing); each branch also pre-aggregates with its own ``distinct``
+    (map-side partial agg inside the join tasks) so the final union-distinct
+    shuffles only near-output-sized data."""
+    n_part = pair_partitions or int(
+        canon_links.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
     doc_pat = patterns.filter(F.col("scope") == "doc")
     span_pat = patterns.filter(F.col("scope") == "span")
 
     # ---- doc scope: distinct entities per doc, typed pair join on doc_id
     ents = canon_links.select("doc_id", "entity_c", "type_c").distinct()
+    ents = ents.repartition(n_part, "doc_id")
     s = ents.alias("s").join(
         F.broadcast(doc_pat).alias("p"), F.col("s.type_c") == F.col("p.subj_type")
     )
@@ -59,10 +76,12 @@ def assemble_triples(canon_links: DataFrame, patterns: DataFrame) -> DataFrame:
             F.col("p.pred").alias("pred"),
             F.col("o.entity_c").alias("obj"),
         )
+        .distinct()
     )
 
     # ---- span scope: pair mentions within a span, gap + order constraints
     m = canon_links.select("doc_id", "span_idx", "tok_start", "entity_c", "type_c")
+    m = m.repartition(n_part, "doc_id", "span_idx")
     ms = m.alias("s").join(
         F.broadcast(span_pat).alias("p"), F.col("s.type_c") == F.col("p.subj_type")
     )
@@ -87,6 +106,7 @@ def assemble_triples(canon_links: DataFrame, patterns: DataFrame) -> DataFrame:
             F.col("p.pred").alias("pred"),
             F.col("o.entity_c").alias("obj"),
         )
+        .distinct()
     )
 
     return doc_triples.unionByName(span_triples).distinct()

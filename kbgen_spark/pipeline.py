@@ -122,15 +122,12 @@ def run_pipeline(
     if stop_after == "extract":
         return run
 
-    lnk = run_stage(
-        spark, store, "link", params, in_fp, lambda: link_mentions(ext.df, gazetteer)
-    )
-    run.stages["link"] = lnk
-    if lnk.skipped:
-        run.skipped.append("link")
-    if stop_after == "link":
-        return run
-
+    # canon depends only on the (dictionary-sized) gazetteer, so it runs
+    # BEFORE link: the link stage then fuses linking + canonical re-keying
+    # into one projection, and the fan-out checkpoint stores the pruned
+    # 5-column canon-link table instead of the 9-column raw link table
+    # (mention/surface/score strings never hit the block store — at corpus
+    # scale that halves the bytes of the largest checkpoint).
     canon = run_stage(
         spark, store, "canon", params, in_fp, lambda: build_canon_map(gazetteer)
     )
@@ -140,13 +137,27 @@ def run_pipeline(
     if stop_after == "canon":
         return run
 
+    lnk = run_stage(
+        spark,
+        store,
+        "link",
+        params,
+        in_fp,
+        lambda: apply_canon_map(link_mentions(ext.df, gazetteer), canon.df),
+    )
+    run.stages["link"] = lnk
+    if lnk.skipped:
+        run.skipped.append("link")
+    if stop_after == "link":
+        return run
+
     mat = run_stage(
         spark,
         store,
         "materialize",
         params,
         in_fp,
-        lambda: assemble_triples(apply_canon_map(lnk.df, canon.df), patterns),
+        lambda: assemble_triples(lnk.df, patterns),
     )
     run.stages["materialize"] = mat
     if mat.skipped:

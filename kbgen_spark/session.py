@@ -61,7 +61,11 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         # Arrow for pandas UDFs (mention detection, emitter, multimodal).
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # 64k-row Arrow batches: the mention UDF's per-batch overhead
+        # (series construction, dict lookups re-entry) amortizes better;
+        # rows at this boundary are short text spans, so batch memory stays
+        # in the tens of MB.
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         # Nested-schema pruning: text-only stages must never read media bytes.
         .config("spark.sql.optimizer.nestedSchemaPruning.enabled", "true")
         # Deterministic timestamp semantics vs the DuckDB oracle.

@@ -145,10 +145,11 @@ def test_resume_skips_completed_stages(spark, tmp_path):
     r1 = run_pipeline(spark, SF_DIR, store=store, stop_after="link")
     assert r1.skipped == []
     r2 = run_pipeline(spark, SF_DIR, store=store)
-    assert r2.skipped == ["extract", "link"]
+    # stage order is extract → canon → link (fused re-key) → materialize
+    assert r2.skipped == ["extract", "canon", "link"]
     fp2 = triples_fingerprint(r2.triples)
     r3 = run_pipeline(spark, SF_DIR, store=store)
-    assert r3.skipped == ["extract", "link", "canon", "materialize"]
+    assert r3.skipped == ["extract", "canon", "link", "materialize"]
     assert triples_fingerprint(r3.triples) == fp2
     # manifest carries per-partition lineage
     assert all("partition_rows" in s.manifest for s in r3.stages.values())

@@ -58,9 +58,9 @@ def main() -> None:
     if warm:
         t0 = time.time()
         wdocs = FX.replicate_documents(FX.interleave_documents(flat), 1)
-        wl = link_mentions(extract_mentions(wdocs, gaz), gaz)
         wc = build_canon_map(gaz)
-        assemble_triples(apply_canon_map(wl, wc), patterns).count()
+        wl = apply_canon_map(link_mentions(extract_mentions(wdocs, gaz), gaz), wc)
+        assemble_triples(wl, patterns).count()
         t["warmup"] = round(time.time() - t0, 2)
 
     def stage(name, df):
@@ -71,10 +71,10 @@ def main() -> None:
         return out, n
 
     ext, n_m = stage("extract", extract_mentions(docs, gaz))
-    lnk, n_l = stage("link", link_mentions(ext, gaz))
     canon, n_c = stage("canon", build_canon_map(gaz))
+    lnk, n_l = stage("link", apply_canon_map(link_mentions(ext, gaz), canon))
     t0 = time.time()
-    n_t = assemble_triples(apply_canon_map(lnk, canon), patterns).count()
+    n_t = assemble_triples(lnk, patterns).count()
     t["materialize"] = round(time.time() - t0, 2)
 
     timed = ["extract", "link", "canon", "materialize"]
