@@ -113,6 +113,66 @@ def agg_degree_histogram(spark, sf_dir):
     return deg.groupBy("deg").agg(F.count("*").alias("n_customers")).orderBy("deg")
 
 
+def agg_grouping_sets_orders(spark, sf_dir):
+    """A9 — explicit GROUPING SETS (rollup/cube's general form)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupingSets(
+            [["o_orderstatus"], ["o_orderpriority"], []],
+            "o_orderstatus",
+            "o_orderpriority",
+        )
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n",
+        )
+    )
+
+
+def q6_revenue_delta(spark, sf_dir):
+    """TPC-H Q6 shape: pure scan-filter-agg — pushdown showcase."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(
+                F.sum(
+                    (
+                        F.col("l_extendedprice").cast("decimal(18,2)")
+                        * F.col("l_discount").cast("decimal(18,2)")
+                    ).cast("decimal(28,6)")
+                ),
+                4,
+            )
+            .cast("double")
+            .alias("revenue"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+def pivot_orders_status(spark, sf_dir):
+    """Pivot (wide counts per status) — mirrored with CASE sums in DuckDB."""
+    o = _t(spark, sf_dir, "orders")
+    p = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+    )
+    return p.select(
+        F.col("o_orderpriority").alias("priority"),
+        F.coalesce("F", F.lit(0)).cast("bigint").alias("n_f"),
+        F.coalesce("O", F.lit(0)).cast("bigint").alias("n_o"),
+        F.coalesce("P", F.lit(0)).cast("bigint").alias("n_p"),
+    )
+
+
 # --------------------------------------------------------------------------
 # B. joins
 # --------------------------------------------------------------------------
@@ -436,6 +496,48 @@ def date_funcs_events(spark, sf_dir):
             F.countDistinct("user_id").alias("n_users"),
         )
         .orderBy("day")
+    )
+
+
+def window_first_last_events(spark, sf_dir):
+    """W-family: first_value/last_value over a full-frame window."""
+    e = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return e.select(
+        "user_id",
+        "event_id",
+        F.first("event_type").over(w).alias("first_type"),
+        F.last("event_type").over(w).alias("last_type"),
+    )
+
+
+def array_hof_documents(spark, sf_dir):
+    """F3 higher-order array functions: exists / forall / filter+reduce."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    return d.select(
+        "doc_id",
+        F.exists(toks, lambda t: t == "the").alias("has_the"),
+        F.forall(toks, lambda t: F.length(t) > 0).alias("all_nonempty"),
+        F.aggregate(
+            F.filter(toks, lambda t: F.length(t) >= 4),
+            F.lit(0).cast("bigint"),
+            lambda acc, t: acc + F.length(t).cast("bigint"),
+        ).alias("long_tok_chars"),
+    )
+
+
+def regexp_extract_parts(spark, sf_dir):
+    """F1 regexp_extract: first word + trailing digits of the brand."""
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.regexp_extract("p_name", r"^(\w+)", 1).alias("first_word"),
+        F.regexp_extract("p_brand", r"(\d+)$", 1).alias("brand_num"),
     )
 
 
@@ -859,6 +961,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_cube_lineitem": agg_cube_lineitem,
         "agg_distinct_counts": agg_distinct_counts,
         "agg_degree_histogram": agg_degree_histogram,
+        "agg_grouping_sets_orders": agg_grouping_sets_orders,
+        "q6_revenue_delta": q6_revenue_delta,
+        "pivot_orders_status": pivot_orders_status,
         # joins (J1–J7, K2)
         "join_broadcast_chain": join_broadcast_chain,
         "join_semi_customers_with_orders": join_semi_customers_with_orders,
@@ -889,6 +994,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_funcs_events": json_funcs_events,
         "date_funcs_events": date_funcs_events,
         "hash_funcs_customers": hash_funcs_customers,
+        "window_first_last_events": window_first_last_events,
+        "array_hof_documents": array_hof_documents,
+        "regexp_extract_parts": regexp_extract_parts,
         # streaming shapes as batch (T1–T2)
         "tumbling_event_counts": tumbling_event_counts,
         "session_window_counts": session_window_counts,
@@ -1014,6 +1122,50 @@ def oracle_sql() -> dict[str, str]:
         "agg_degree_histogram": """
             with deg as (select o_custkey, count(*) as deg from orders group by o_custkey)
             select deg, count(*) as n_customers from deg group by deg order by deg
+        """,
+        "agg_grouping_sets_orders": """
+            select coalesce(o_orderstatus, 'ALL') as status,
+                   coalesce(o_orderpriority, 'ALL') as priority,
+                   count(*) as n
+            from orders
+            group by grouping sets ((o_orderstatus), (o_orderpriority), ())
+        """,
+        "q6_revenue_delta": """
+            select
+                cast(round(sum(cast(cast(l_extendedprice as decimal(18,2)) * cast(l_discount as decimal(18,2)) as decimal(28,6))), 4) as double) as revenue,
+                count(*) as n
+            from lineitem
+            where l_discount >= 0.05 and l_discount <= 0.07 and l_quantity < 24
+        """,
+        "pivot_orders_status": """
+            select o_orderpriority as priority,
+                   cast(sum(case when o_orderstatus = 'F' then 1 else 0 end) as bigint) as n_f,
+                   cast(sum(case when o_orderstatus = 'O' then 1 else 0 end) as bigint) as n_o,
+                   cast(sum(case when o_orderstatus = 'P' then 1 else 0 end) as bigint) as n_p
+            from orders group by o_orderpriority
+        """,
+        "window_first_last_events": """
+            select user_id, event_id,
+                first_value(event_type) over w as first_type,
+                last_value(event_type) over w as last_type
+            from events
+            window w as (partition by user_id order by ts, event_id
+                         rows between unbounded preceding and unbounded following)
+        """,
+        "array_hof_documents": """
+            select doc_id,
+                len(list_filter(string_split(text,' '), t -> t = 'the')) > 0 as has_the,
+                len(list_filter(string_split(text,' '), t -> length(t) = 0)) = 0 as all_nonempty,
+                cast(coalesce(list_sum(list_transform(
+                    list_filter(string_split(text,' '), t -> length(t) >= 4),
+                    t -> length(t))), 0) as bigint) as long_tok_chars
+            from documents
+        """,
+        "regexp_extract_parts": """
+            select p_partkey,
+                coalesce(regexp_extract(p_name, '^(\\w+)', 1), '') as first_word,
+                coalesce(regexp_extract(p_brand, '(\\d+)$', 1), '') as brand_num
+            from part
         """,
         "join_broadcast_chain": """
             select r_name, count(*) as n_customers,
