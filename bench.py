@@ -31,7 +31,10 @@ def run_bench(
     spark = get_spark(
         app_name="kbgen_bench",
         master=f"local[{cpus}]",
-        shuffle_partitions=max(2 * cpus, 16),
+        # 4 waves minimum per stage: at 16 partitions an 8-core run has only
+        # 2 waves and the last-wave stragglers idle the cores (measured tail
+        # effect); 4*cpus keeps wave counts comparable across levels.
+        shuffle_partitions=max(4 * cpus, 16),
     )
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -41,7 +44,7 @@ def run_bench(
     # --- headline: the KG construction pipeline over a replicated corpus
     flat = FX.load_flat_documents(spark, sf_dir)
     docs = FX.replicate_documents(FX.interleave_documents(flat), replicate)
-    docs = docs.repartition(max(2 * cpus, 16)).localCheckpoint(eager=True)
+    docs = docs.repartition(max(4 * cpus, 16)).localCheckpoint(eager=True)
     n_docs = docs.count()
     gaz = FX.build_gazetteer(flat).localCheckpoint(eager=True)
     patterns = FX.build_relation_patterns(spark)
