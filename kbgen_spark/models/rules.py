@@ -104,21 +104,26 @@ def parse_amie_tsv(
     return rules
 
 
+def _atom_frame(triples: DataFrame, atom: Atom) -> DataFrame:
+    """One body atom → matching rows with one column per DISTINCT variable.
+    A reflexive atom p(x, x) filters subj == obj and yields a single column
+    (duplicate-named columns would make downstream using-joins ambiguous)."""
+    sv, p, ov = atom
+    if sv == ov:
+        return triples.filter(
+            (F.col("pred") == p) & (F.col("subj") == F.col("obj"))
+        ).select(F.col("subj").alias(sv))
+    return triples.filter(F.col("pred") == p).select(
+        F.col("subj").alias(sv), F.col("obj").alias(ov)
+    )
+
+
 def _bind_body(triples: DataFrame, rule: HornRule) -> DataFrame:
     """Evaluate the body pattern → one row per variable binding, with one
     column per distinct variable."""
-    (sv0, p0, ov0) = rule.body[0]
-    bound = triples.filter(F.col("pred") == p0).select(
-        F.col("subj").alias(sv0), F.col("obj").alias(ov0)
-    )
-    if sv0 == ov0:  # reflexive atom p(x, x)
-        bound = triples.filter(
-            (F.col("pred") == p0) & (F.col("subj") == F.col("obj"))
-        ).select(F.col("subj").alias(sv0))
-    for sv, p, ov in rule.body[1:]:
-        nxt = triples.filter(F.col("pred") == p).select(
-            F.col("subj").alias(sv), F.col("obj").alias(ov)
-        )
+    bound = _atom_frame(triples, rule.body[0])
+    for atom in rule.body[1:]:
+        nxt = _atom_frame(triples, atom)
         shared = [c for c in bound.columns if c in nxt.columns]
         if not shared:
             raise ValueError(f"disconnected rule body: {rule.key()}")
@@ -129,11 +134,16 @@ def _bind_body(triples: DataFrame, rule: HornRule) -> DataFrame:
 def apply_horn_rules(
     triples: DataFrame, rules: list[HornRule], seed: int = 42
 ) -> DataFrame:
-    """triples ∪ {head(binding) : binding ⊨ body, u(binding, rule) < conf}.
+    """triples ∪ {head(h) : ∃ binding ⊨ body, u(h, rule) < conf}.
 
     Head variables must appear in the body (safe rules — AMIE only emits
-    those). Fired heads are deduped against the input facts (left_anti) and
-    against each other."""
+    those). Firing is PER-HEAD: the hash draws on (head subj, head obj,
+    rule key), so a head derivable through k distinct intermediate bindings
+    still materializes with probability exactly = confidence — not
+    1-(1-conf)^k — matching the 1-atom fast path (apply_rules hashes subj/
+    obj/preds) and kbgen's "fact exists with prob conf" semantics [P §3.3].
+    Fired heads are deduped against the input facts (left_anti) and against
+    each other."""
     fired_parts = []
     for rule in rules:
         bound = _bind_body(triples, rule)
@@ -141,10 +151,9 @@ def apply_horn_rules(
         for v in (hsv, hov):
             if v not in bound.columns:
                 raise ValueError(f"unsafe rule (head var ?{v} not in body): {rule.key()}")
-        vars_sorted = sorted(bound.columns)
         fired_parts.append(
             bound.filter(
-                det_uniform(*vars_sorted, F.lit(rule.key()), seed=seed + 13)
+                det_uniform(hsv, hov, F.lit(rule.key()), seed=seed + 13)
                 < F.lit(rule.confidence)
             ).select(
                 F.col(hsv).alias("subj"),

@@ -40,21 +40,37 @@ def dedup_exact(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def doc_minhash_signatures(
-    docs: DataFrame, k: int = 32, shingle_n: int = 3, text_col: str = "text"
+def doc_shingle_sets(
+    docs: DataFrame, shingle_n: int = 3, text_col: str = "text"
 ) -> DataFrame:
-    """(doc_id, sig) — word-shingle MinHash, JVM-side min(xxhash64) aggs."""
-    sh = docs.select(
-        "doc_id", F.explode(word_shingles(tokens(text_col), shingle_n)).alias("shingle")
+    """(doc_id, sh: array<string>) — the distinct word-shingle set per doc.
+    Shared by signature computation AND exact-Jaccard verification so the
+    corpus is tokenized/shingled once (round-2 verdict "Next round" #9)."""
+    return docs.select(
+        F.col("doc_id"),
+        F.array_distinct(word_shingles(tokens(text_col), shingle_n)).alias("sh"),
     )
+
+
+def minhash_signatures_from_sets(sh: DataFrame, k: int = 32) -> DataFrame:
+    """(doc_id, sig) from a shingle-set table — JVM-side min(xxhash64) aggs.
+    Duplicate shingles never change a min, so distinct sets are fine."""
+    exploded = sh.select("doc_id", F.explode("sh").alias("shingle"))
     aggs = [
         F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}") for i in range(k)
     ]
     return (
-        sh.groupBy("doc_id")
+        exploded.groupBy("doc_id")
         .agg(*aggs)
         .select("doc_id", F.array(*[f"h{i}" for i in range(k)]).alias("sig"))
     )
+
+
+def doc_minhash_signatures(
+    docs: DataFrame, k: int = 32, shingle_n: int = 3, text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, sig) — word-shingle MinHash, JVM-side min(xxhash64) aggs."""
+    return minhash_signatures_from_sets(doc_shingle_sets(docs, shingle_n, text_col), k)
 
 
 def dedup_minhash_lsh(
@@ -66,14 +82,17 @@ def dedup_minhash_lsh(
     text_col: str = "text",
 ) -> DataFrame:
     """Near-duplicate pairs (a, b, jaccard) with exact word-shingle Jaccard
-    verification of LSH candidates. The verify join re-reads shingle sets for
-    the candidate pairs only."""
-    sig = doc_minhash_signatures(docs, k, shingle_n, text_col)
+    verification of LSH candidates.
+
+    The shingle-set table is computed ONCE and checkpointed eagerly, then
+    feeds both the signature aggregation and the verify join — without the
+    checkpoint the corpus would be scanned + shingled twice (signatures, then
+    again behind the candidate join). Eager, not lazy: the round-2 A/B showed
+    the DAG scheduler submits fan-out consumers before a lazy checkpoint has
+    materialized blocks, recomputing the upstream subtree per consumer."""
+    sh = doc_shingle_sets(docs, shingle_n, text_col).localCheckpoint(eager=True)
+    sig = minhash_signatures_from_sets(sh, k)
     cand = lsh_candidate_pairs(sig, "doc_id", k, bands)
-    sh = docs.select(
-        F.col("doc_id"),
-        F.array_distinct(word_shingles(tokens(text_col), shingle_n)).alias("sh"),
-    )
     a = sh.select(F.col("doc_id").alias("a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col("doc_id").alias("b"), F.col("sh").alias("sh_b"))
     jac = F.size(F.array_intersect("sh_a", "sh_b")).cast("double") / F.size(

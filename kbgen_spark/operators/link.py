@@ -38,9 +38,12 @@ def link_mentions(mentions: DataFrame, gazetteer: DataFrame) -> DataFrame:
     # Top-1 per mention. When the gazetteer is uniquely keyed by surface_form
     # (one candidate per mention — the common dictionary case), the rank
     # window would shuffle the whole mention stream for nothing: skip it.
-    # The check costs two counts of the tiny dictionary table.
-    n_all = gazetteer.count()
-    n_sf = gazetteer.select("surface_form").distinct().count()
+    # The check costs ONE aggregate job over the tiny dictionary table.
+    cnt = gazetteer.agg(
+        F.count("*").alias("n_all"),
+        F.count_distinct("surface_form").alias("n_sf"),
+    ).collect()[0]
+    n_all, n_sf = cnt["n_all"], cnt["n_sf"]
     if n_all == n_sf:
         ranked = scored.withColumn("rn", F.lit(1))
     else:

@@ -93,6 +93,7 @@ def run_pipeline(
     ``stop_after`` ∈ {extract, link, canon} simulates a killed run for the
     resume test (SURVEY §5.2 item 6).
     """
+    overrides = {"docs": docs, "gazetteer": gazetteer, "patterns": patterns}
     flat = FX.load_flat_documents(spark, sf_dir)
     docs = docs if docs is not None else FX.interleave_documents(flat)
     gazetteer = gazetteer if gazetteer is not None else FX.build_gazetteer(flat)
@@ -105,6 +106,14 @@ def run_pipeline(
     # + mtimes), not just the path: replacing the corpus at the same path
     # invalidates old snapshots instead of silently resuming stale triples.
     in_fp = path_fingerprint(f"{sf_dir}/documents.parquet")
+    if store is not None:
+        # Caller-supplied docs/gazetteer/patterns replace what sf_dir implies,
+        # so the path fingerprint alone would resume snapshots computed from
+        # DIFFERENT data. Fold a content hash of each override in (one extra
+        # scan per overridden input, only on store-backed resumable runs).
+        for name, df in overrides.items():
+            if df is not None:
+                in_fp += f";{name}={dataframe_fingerprint(df)}"
     params = {"sf_dir": sf_dir, "lsh_k": LSH_K, "bands": LSH_BANDS, "tau": JACCARD_T}
 
     ext = run_stage(

@@ -214,7 +214,23 @@ class IcebergStore:
         return json.loads(row[0]["manifest_json"]) if row else None
 
     def read(self, spark: SparkSession, stage: str, phash: str) -> DataFrame:
-        return spark.read.table(self._table(stage, phash))
+        """Read the stage output PINNED at the snapshot id recorded in the
+        manifest at commit time (``snapshot-id`` read option) — a concurrent
+        createOrReplace cannot change what a resumed stage sees, matching the
+        parquet store's immutable-snapshot contract. Falls back to the live
+        table only for manifests written before snapshot ids were recorded."""
+        man = self.load_manifest(stage, phash)
+        reader = spark.read
+        if man and man.get("snapshot_id") is not None:
+            reader = reader.option("snapshot-id", int(man["snapshot_id"]))
+        return reader.table(self._table(stage, phash))
+
+    def _current_snapshot_id(self, table: str) -> int | None:
+        rows = self.spark.sql(
+            f"SELECT snapshot_id FROM {table}.snapshots "
+            "ORDER BY committed_at DESC LIMIT 1"
+        ).collect()
+        return int(rows[0]["snapshot_id"]) if rows else None
 
     def commit(
         self,
@@ -229,6 +245,7 @@ class IcebergStore:
         # parquet store), then snapshot-commit the data, then the manifest.
         self.spark.sql(f"DROP TABLE IF EXISTS {self._manifest_table(stage, phash)}")
         df.writeTo(t).createOrReplace()
+        snapshot_id = self._current_snapshot_id(t)
         committed = self.spark.read.table(t)
         per_part = {
             str(r["pid"]): r["rows"]
@@ -240,6 +257,7 @@ class IcebergStore:
             "stage": stage,
             "params_hash": phash,
             "input_fingerprint": input_fingerprint,
+            "snapshot_id": snapshot_id,
             "rows": int(sum(per_part.values())),
             "partition_rows": per_part,
             "schema": committed.schema.simpleString(),
