@@ -955,6 +955,109 @@ def media_feature_extraction(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# open-vocabulary dedup fixture (round-2 verdict item 3): ~10k-token open
+# vocabulary + planted near-dup pairs, derived deterministically from the
+# documents table's doc_ids in BOTH engines (see fixtures_openvocab.py for
+# the shared generation spec; the ov_* CTEs in oracle_sql() mirror it).
+# --------------------------------------------------------------------------
+
+
+def openvocab_ngram_pairs(spark, sf_dir):
+    """Exact token-set Jaccard (PPJoin prefix filter) on the open-vocabulary
+    corpus — selectivity is real here: only the ~10% planted pairs qualify,
+    and the prefix filter actually prunes (the prune ratio is pinned in
+    tests/test_openvocab.py and recorded in PLANS.md)."""
+    from kbgen_spark.fixtures_openvocab import open_vocab_corpus
+    from kbgen_spark.operators.dedup import dedup_ngram_jaccard
+
+    d = open_vocab_corpus(_t(spark, sf_dir, "documents"))
+    out = dedup_ngram_jaccard(d, threshold=0.6)
+    return out.select("a", "b", F.round("jaccard", 6).alias("jaccard"))
+
+
+# 16 hashes in 4 bands x 4 rows: candidate probability 1-(1-j^4)^4 ≈ 0.42
+# at j=0.6, ≈ 0.87 at j=0.8 — the planted pairs (shingle-Jaccard 0.45-1.0)
+# are genuinely missable, so openvocab_lsh_recall lands measurably below
+# 1.0 and the candidate-verification oracle proves it is tracked exactly.
+_OV_LSH_K = 16
+_OV_LSH_BANDS = 4
+_OV_TAU = 0.4
+
+
+def openvocab_minhash_pairs(spark, sf_dir):
+    """MinHash-LSH near-dup pairs with CANDIDATE-PAIR verification oracle
+    (round-2 verdict item 3's flagged debt): the md5-60-bit hash family lets
+    DuckDB replay the exact signatures → bands → candidates → verify chain,
+    so the oracle checks precisely what LSH computes. An LSH recall miss no
+    longer silently breaks an all-pairs equality — recall is measured
+    explicitly by openvocab_lsh_recall instead."""
+    from kbgen_spark.fixtures_openvocab import (
+        mirrorable_shingle_hash,
+        open_vocab_corpus,
+    )
+    from kbgen_spark.operators.dedup import dedup_minhash_lsh
+
+    d = open_vocab_corpus(_t(spark, sf_dir, "documents"))
+    out = dedup_minhash_lsh(
+        d,
+        k=_OV_LSH_K,
+        bands=_OV_LSH_BANDS,
+        threshold=_OV_TAU,
+        shingle_hash=mirrorable_shingle_hash,
+    )
+    return out.select("a", "b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def openvocab_lsh_recall(spark, sf_dir):
+    """LSH recall as a driver-checked single-row metric: n_exact = all pairs
+    with 3-word-shingle Jaccard ≥ τ (inverted-index exact join), n_found =
+    those surviving the k=16/b=8 LSH blocking. Both engines compute both
+    sides, so a sub-1.0 recall is *evidenced*, not hidden (the k/bands are
+    sized so the fixture genuinely exercises recall < 1)."""
+    from kbgen_spark.fixtures_openvocab import (
+        mirrorable_shingle_hash,
+        open_vocab_corpus,
+    )
+    from kbgen_spark.operators.dedup import dedup_minhash_lsh, doc_shingle_sets
+
+    d = open_vocab_corpus(_t(spark, sf_dir, "documents"))
+    sh = doc_shingle_sets(d)
+    flat = sh.select("doc_id", F.explode("sh").alias("s"))
+    inter = (
+        flat.alias("x")
+        .join(flat.alias("y"), "s")
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .groupBy(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
+        .agg(F.count("*").alias("i"))
+    )
+    sizes = sh.select("doc_id", F.size("sh").alias("sz"))
+    exact = (
+        inter.join(sizes.select(F.col("doc_id").alias("a"), F.col("sz").alias("sza")), "a")
+        .join(sizes.select(F.col("doc_id").alias("b"), F.col("sz").alias("szb")), "b")
+        .filter(
+            F.col("i").cast("double") / (F.col("sza") + F.col("szb") - F.col("i"))
+            >= _OV_TAU
+        )
+        .select("a", "b")
+    )
+    found = dedup_minhash_lsh(
+        d,
+        k=_OV_LSH_K,
+        bands=_OV_LSH_BANDS,
+        threshold=_OV_TAU,
+        shingle_hash=mirrorable_shingle_hash,
+    ).select("a", "b", F.lit(1).alias("hit"))
+    marked = exact.join(found, ["a", "b"], "left")
+    return marked.agg(
+        F.count("*").alias("n_exact"),
+        F.coalesce(F.sum("hit"), F.lit(0)).alias("n_found"),
+        F.round(
+            F.coalesce(F.sum("hit"), F.lit(0)).cast("double") / F.count("*"), 4
+        ).alias("recall"),
+    )
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
@@ -969,6 +1072,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- tier 1: need driver evidence this round (none yet, or lost
         #    their row to the 50-entry cap in round 2) ------------------
+        "openvocab_ngram_pairs": openvocab_ngram_pairs,
+        "openvocab_minhash_pairs": openvocab_minhash_pairs,
+        "openvocab_lsh_recall": openvocab_lsh_recall,
         "minhash_doc_pairs": minhash_doc_pairs,
         "simhash_doc_pairs": simhash_doc_pairs,
         "quality_scores_documents": quality_scores_documents,
@@ -1105,7 +1211,113 @@ def oracle_sql() -> dict[str, str]:
         f"else 'de' end"
     )
 
+    # Shared CTE chain regenerating the open-vocabulary corpus exactly as
+    # kbgen_spark.fixtures_openvocab.open_vocab_corpus does (md5-60-bit
+    # positive bigints agree between Spark and DuckDB on %, >>, &; keep the
+    # two generation specs in sync).
+    ov_corpus = """
+        ov_base as (
+            select doc_id,
+                   case when doc_id % 10 = 1 then doc_id - 1 else doc_id end as base
+            from documents
+        ),
+        ov_pos as (
+            select doc_id, base,
+                   unnest(range(0, 30 + cast(('0x'||substr(md5('len:'||base),1,15)) as bigint) % 31)) as i
+            from ov_base
+        ),
+        ov_h as (
+            select doc_id, base, i,
+                   cast(('0x'||substr(md5('tok:'||base||':'||i),1,15)) as bigint) as h
+            from ov_pos
+        ),
+        ov_toks as (
+            select doc_id, i,
+                   case when (doc_id % 10 = 1)
+                             and cast(('0x'||substr(md5('mut:'||doc_id||':'||i),1,15)) as bigint) % 20 = 0
+                        then 'x' || ((h >> 3) % 39119)
+                        when h % 3 = 0 then 'c' || ((h >> 3) % 50)
+                        else 'w' || ((h >> 3) % 39119)
+                   end as tok
+            from ov_h
+        )"""
+    # 3-word shingle sets + exact pairwise Jaccard over the open corpus
+    # (doc order by i; len >= 30 so the short-doc branch never fires).
+    ov_shingles = """,
+        ov_text as (
+            select doc_id, list(tok order by i) as t from ov_toks group by doc_id
+        ),
+        ov_sh as (
+            select distinct doc_id,
+                   unnest(list_transform(range(1, len(t) - 1),
+                                         i -> array_to_string(t[i:i+2], ' '))) as s
+            from ov_text
+        ),
+        ov_sz as (select doc_id, count(*) as sz from ov_sh group by doc_id),
+        ov_inter as (
+            select x.doc_id as a, y.doc_id as b, count(*) as i
+            from ov_sh x join ov_sh y on x.s = y.s and x.doc_id < y.doc_id
+            group by a, b
+        ),
+        ov_exact as (
+            select a, b, cast(i as double) / (sa.sz + sb.sz - i) as jac
+            from ov_inter join ov_sz sa on ov_inter.a = sa.doc_id
+            join ov_sz sb on ov_inter.b = sb.doc_id
+        )"""
+    # the EXACT md5-60-bit LSH chain dedup_minhash_lsh runs with
+    # mirrorable_shingle_hash: k signatures, b bands x r rows, bucket =
+    # the band's signature slice joined with ','.
+    ov_r = _OV_LSH_K // _OV_LSH_BANDS
+    ov_lsh = f""",
+        ov_sig as (
+            select doc_id, j,
+                   min(cast(('0x'||substr(md5(s||'#'||j),1,15)) as bigint)) as sig
+            from ov_sh, range({_OV_LSH_K}) t(j)
+            group by doc_id, j
+        ),
+        ov_band as (
+            select doc_id, j // {ov_r} as band,
+                   array_to_string(list(sig order by j), ',') as bucket
+            from ov_sig group by doc_id, j // {ov_r}
+        ),
+        ov_cand as (
+            select distinct a.doc_id as a, b.doc_id as b
+            from ov_band a join ov_band b
+              on a.band = b.band and a.bucket = b.bucket and a.doc_id < b.doc_id
+        ),
+        ov_found as (
+            select e.a, e.b, e.jac
+            from ov_exact e join ov_cand c on e.a = c.a and e.b = c.b
+            where e.jac >= {_OV_TAU}
+        )"""
     return {
+        "openvocab_ngram_pairs": f"""
+            with {ov_corpus},
+            ov_set as (select distinct doc_id, tok from ov_toks),
+            ov_usz as (select doc_id, count(*) as sz from ov_set group by doc_id),
+            ov_uinter as (
+                select x.doc_id as a, y.doc_id as b, count(*) as i
+                from ov_set x join ov_set y on x.tok = y.tok and x.doc_id < y.doc_id
+                group by a, b
+            )
+            select a, b, round(jac, 6) as jaccard from (
+                select a, b, cast(i as double) / (sa.sz + sb.sz - i) as jac
+                from ov_uinter join ov_usz sa on ov_uinter.a = sa.doc_id
+                join ov_usz sb on ov_uinter.b = sb.doc_id) t
+            where jac >= 0.6
+        """,
+        "openvocab_minhash_pairs": f"""
+            with {ov_corpus}{ov_shingles}{ov_lsh}
+            select a, b, round(jac, 6) as jaccard from ov_found
+        """,
+        "openvocab_lsh_recall": f"""
+            with {ov_corpus}{ov_shingles}{ov_lsh},
+            ov_ge as (select a, b from ov_exact where jac >= {_OV_TAU})
+            select (select count(*) from ov_ge) as n_exact,
+                   (select count(*) from ov_found) as n_found,
+                   round(cast((select count(*) from ov_found) as double)
+                         / (select count(*) from ov_ge), 4) as recall
+        """,
         "q1_pricing_summary": """
             select l_returnflag, l_linestatus,
                 cast(round(sum(cast(l_quantity as decimal(18,2))), 2) as double) as sum_qty,

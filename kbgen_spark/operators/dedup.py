@@ -52,12 +52,21 @@ def doc_shingle_sets(
     )
 
 
-def minhash_signatures_from_sets(sh: DataFrame, k: int = 32) -> DataFrame:
-    """(doc_id, sig) from a shingle-set table — JVM-side min(xxhash64) aggs.
-    Duplicate shingles never change a min, so distinct sets are fine."""
+def minhash_signatures_from_sets(
+    sh: DataFrame, k: int = 32, shingle_hash=None
+) -> DataFrame:
+    """(doc_id, sig) from a shingle-set table — JVM-side min-hash aggs.
+    Duplicate shingles never change a min, so distinct sets are fine.
+
+    ``shingle_hash``: callable (shingle Column, i) -> Column giving the i-th
+    hash of a shingle; defaults to ``xxhash64(shingle, i)`` (fast path). A
+    cross-engine-mirrorable md5-60-bit variant feeds the DuckDB oracle —
+    see __spark_entry__.openvocab_minhash_pairs."""
+    if shingle_hash is None:
+        shingle_hash = lambda c, i: F.xxhash64(c, F.lit(i))  # noqa: E731
     exploded = sh.select("doc_id", F.explode("sh").alias("shingle"))
     aggs = [
-        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}") for i in range(k)
+        F.min(shingle_hash(F.col("shingle"), i)).alias(f"h{i}") for i in range(k)
     ]
     return (
         exploded.groupBy("doc_id")
@@ -67,10 +76,16 @@ def minhash_signatures_from_sets(sh: DataFrame, k: int = 32) -> DataFrame:
 
 
 def doc_minhash_signatures(
-    docs: DataFrame, k: int = 32, shingle_n: int = 3, text_col: str = "text"
+    docs: DataFrame,
+    k: int = 32,
+    shingle_n: int = 3,
+    text_col: str = "text",
+    shingle_hash=None,
 ) -> DataFrame:
-    """(doc_id, sig) — word-shingle MinHash, JVM-side min(xxhash64) aggs."""
-    return minhash_signatures_from_sets(doc_shingle_sets(docs, shingle_n, text_col), k)
+    """(doc_id, sig) — word-shingle MinHash, JVM-side min-hash aggs."""
+    return minhash_signatures_from_sets(
+        doc_shingle_sets(docs, shingle_n, text_col), k, shingle_hash
+    )
 
 
 def dedup_minhash_lsh(
@@ -80,6 +95,7 @@ def dedup_minhash_lsh(
     shingle_n: int = 3,
     threshold: float = 0.7,
     text_col: str = "text",
+    shingle_hash=None,
 ) -> DataFrame:
     """Near-duplicate pairs (a, b, jaccard) with exact word-shingle Jaccard
     verification of LSH candidates.
@@ -91,7 +107,7 @@ def dedup_minhash_lsh(
     the DAG scheduler submits fan-out consumers before a lazy checkpoint has
     materialized blocks, recomputing the upstream subtree per consumer."""
     sh = doc_shingle_sets(docs, shingle_n, text_col).localCheckpoint(eager=True)
-    sig = minhash_signatures_from_sets(sh, k)
+    sig = minhash_signatures_from_sets(sh, k, shingle_hash)
     cand = lsh_candidate_pairs(sig, "doc_id", k, bands)
     a = sh.select(F.col("doc_id").alias("a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col("doc_id").alias("b"), F.col("sh").alias("sh_b"))
@@ -191,6 +207,64 @@ def dedup_simhash(
     )
 
 
+def rare_first_token_sets(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, tok_arr, sz) — each doc's distinct tokens sorted rarest-first.
+
+    The global token order is the *tuple* (df, tok) itself — docs sort their
+    tokens by struct(df, tok) locally, so there is NO global row_number
+    window (the round-1 version funneled the whole vocabulary through one
+    reducer). The token→df join shuffles on ``tok``; AQE turns it into a
+    broadcast when the vocabulary is small."""
+    toks = docs.select(
+        F.col("doc_id"), F.explode(F.array_distinct(tokens(text_col))).alias("tok")
+    )
+    dfreq = toks.groupBy("tok").agg(F.count("*").alias("df"))
+    ranked = toks.join(dfreq, "tok")
+    sets = ranked.groupBy("doc_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("df", "tok"))), lambda x: x["tok"]
+        ).alias("tok_arr")
+    )
+    return sets.select("doc_id", "tok_arr", F.size("tok_arr").alias("sz"))
+
+
+def ngram_prefix_candidates(sets: DataFrame, threshold: float) -> DataFrame:
+    """Prefix-filtered candidate pairs (a, b) over rare_first_token_sets
+    output — exact (never drops a pair with jaccard ≥ threshold), exposed
+    separately so tests/benchmarks can measure how hard the prefix + length
+    + positional filters prune relative to a naive shared-token join."""
+    prefix_len = (
+        F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")).cast("int") + 1
+    )
+    postings = sets.select(
+        "doc_id",
+        "sz",
+        F.posexplode(F.slice("tok_arr", 1, prefix_len)).alias("pos0", "tok"),
+    ).select("doc_id", "sz", "tok", (F.col("pos0") + 1).alias("pos"))
+    # required overlap for jaccard ≥ τ: inter ≥ τ(|A|+|B|)/(1+τ)
+    alpha = F.ceil(
+        F.lit(threshold / (1.0 + threshold)) * (F.col("x.sz") + F.col("y.sz"))
+        - F.lit(1e-9)
+    )
+    pos_bound = F.lit(1) + F.least(
+        F.col("x.sz") - F.col("x.pos"), F.col("y.sz") - F.col("y.pos")
+    )
+    return (
+        postings.alias("x")
+        .join(postings.alias("y"), "tok")
+        .filter(
+            (F.col("x.doc_id") < F.col("y.doc_id"))
+            & (
+                F.lit(threshold) * F.greatest("x.sz", "y.sz")
+                <= F.least("x.sz", "y.sz")
+            )
+            & (pos_bound >= alpha)
+        )
+        .select(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
+        .distinct()
+    )
+
+
 def dedup_ngram_jaccard(
     docs: DataFrame, threshold: float = 0.5, text_col: str = "text"
 ) -> DataFrame:
@@ -219,51 +293,8 @@ def dedup_ngram_jaccard(
     row_number window (the round-1 version funneled the whole vocabulary
     through one reducer). The token→df join shuffles on ``tok``; AQE turns
     it into a broadcast when the vocabulary is small."""
-    toks = docs.select(
-        F.col("doc_id"), F.explode(F.array_distinct(tokens(text_col))).alias("tok")
-    )
-    # global token order: rarest first — (df asc, tok asc) as a sortable
-    # struct, no dense integer rank needed (and no single-partition window).
-    dfreq = toks.groupBy("tok").agg(F.count("*").alias("df"))
-    ranked = toks.join(dfreq, "tok")
-    sets = ranked.groupBy("doc_id").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("df", "tok"))), lambda x: x["tok"]
-        ).alias("tok_arr")
-    )
-    sets = sets.select(
-        "doc_id", "tok_arr", F.size("tok_arr").alias("sz")
-    )
-    prefix_len = (
-        F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")).cast("int") + 1
-    )
-    postings = sets.select(
-        "doc_id",
-        "sz",
-        F.posexplode(F.slice("tok_arr", 1, prefix_len)).alias("pos0", "tok"),
-    ).select("doc_id", "sz", "tok", (F.col("pos0") + 1).alias("pos"))
-    # required overlap for jaccard ≥ τ: inter ≥ τ(|A|+|B|)/(1+τ)
-    alpha = F.ceil(
-        F.lit(threshold / (1.0 + threshold)) * (F.col("x.sz") + F.col("y.sz"))
-        - F.lit(1e-9)
-    )
-    pos_bound = F.lit(1) + F.least(
-        F.col("x.sz") - F.col("x.pos"), F.col("y.sz") - F.col("y.pos")
-    )
-    cand = (
-        postings.alias("x")
-        .join(postings.alias("y"), "tok")
-        .filter(
-            (F.col("x.doc_id") < F.col("y.doc_id"))
-            & (
-                F.lit(threshold) * F.greatest("x.sz", "y.sz")
-                <= F.least("x.sz", "y.sz")
-            )
-            & (pos_bound >= alpha)
-        )
-        .select(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
-        .distinct()
-    )
+    sets = rare_first_token_sets(docs, text_col)
+    cand = ngram_prefix_candidates(sets, threshold)
     sa = sets.select(F.col("doc_id").alias("a"), F.col("tok_arr").alias("ta"), F.col("sz").alias("sza"))
     sb = sets.select(F.col("doc_id").alias("b"), F.col("tok_arr").alias("tb"), F.col("sz").alias("szb"))
     inter = F.size(F.array_intersect("ta", "tb"))
