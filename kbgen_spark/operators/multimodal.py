@@ -49,12 +49,20 @@ def media_spans(docs: DataFrame) -> DataFrame:
     )
 
 
-def _decode_image_stub(payload: bytes) -> tuple[int, int, np.ndarray]:
-    """STUB — replace with a real codec (PIL/libvips) in production.
+def _decode_image_stub(payload: bytes, kind: str = "image") -> tuple[int, int, np.ndarray]:
+    """Deterministic decode CONTRACT implementation (no codecs in this
+    container). Derives (width, height, 8-dim feature) purely from the
+    payload bytes:
 
-    Raises for unknown magic in strict mode; here derives a deterministic
-    (width, height, 8-dim feature) from the payload bytes so downstream
-    plumbing is testable.
+    - width  = 64 + (sum of bytes [0, 4))  % 64
+    - height = 64 + (sum of bytes [4, 8)) % 64
+    - feature = column means of the bytes reshaped (-1, 8), / 255, float32
+
+    These exact values are pinned by tests/test_multimodal_contract.py and
+    driver-checked rows-only via the media_feature_extraction entry, so the
+    seam's plumbing (schema, batching, ordering) is verified even though the
+    decode itself is synthetic. Swap in pil_image_decoder (below) or any
+    ``decode_fn(payload, kind)`` for real codecs — nothing else changes.
     """
     b = np.frombuffer(payload, dtype=np.uint8)
     width = int(64 + (int(b[:4].sum()) % 64))
@@ -65,20 +73,53 @@ def _decode_image_stub(payload: bytes) -> tuple[int, int, np.ndarray]:
     return width, height, feat
 
 
-def extract_media_features(media: DataFrame, batch_hint: int = 256) -> DataFrame:
+def pil_image_decoder():
+    """Production decode_fn: real image decode via PIL, same contract as the
+    stub — ``(payload, kind) -> (width, height, 8-dim float32 feature)``
+    where the feature is the column-mean of the 8×8 grayscale thumbnail.
+
+    Returns None when PIL is not importable (this sandbox) — callers fall
+    back to the stub; tests exercise this path under
+    ``pytest.importorskip("PIL")`` so the seam is covered wherever a codec
+    exists."""
+    try:
+        import io
+
+        from PIL import Image
+    except ImportError:
+        return None
+
+    def decode(payload: bytes, kind: str) -> tuple[int, int, np.ndarray]:
+        img = Image.open(io.BytesIO(payload))
+        width, height = img.size
+        thumb = np.asarray(
+            img.convert("L").resize((8, 8)), dtype=np.float32
+        )
+        return width, height, (thumb.mean(axis=0) / 255.0).astype(np.float32)
+
+    return decode
+
+
+def extract_media_features(
+    media: DataFrame, batch_hint: int = 256, decode_fn=None
+) -> DataFrame:
     """mapInPandas feature extraction over media payloads.
 
-    Real work (decode, resize, frame-sample) happens per Arrow batch inside
-    the stub seam; the Spark plan is a single narrow map stage."""
+    ``decode_fn(payload: bytes, kind: str) -> (width, height, feature)`` is
+    the injection seam for real codecs (see pil_image_decoder); the default
+    is the deterministic stub contract. Decode is inherently per-payload
+    Python — the Arrow batch amortizes the crossing, and the Spark plan
+    stays a single narrow map stage."""
+    decode = decode_fn if decode_fn is not None else _decode_image_stub
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
             feats, widths, heights, nbytes = [], [], [], []
-            for payload in b["payload"]:
-                w, h, f = _decode_image_stub(bytes(payload))
+            for payload, kind in zip(b["payload"], b["kind"]):
+                w, h, f = decode(bytes(payload), kind)
                 widths.append(w)
                 heights.append(h)
-                feats.append(f.tolist())
+                feats.append([float(x) for x in f])
                 nbytes.append(len(payload))
             out = b[["doc_id", "span_idx", "kind", "media_ref"]].copy()
             out["n_bytes"] = pd.Series(nbytes, dtype="int32")
