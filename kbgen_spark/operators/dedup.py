@@ -100,13 +100,15 @@ def dedup_minhash_lsh(
     """Near-duplicate pairs (a, b, jaccard) with exact word-shingle Jaccard
     verification of LSH candidates.
 
-    The shingle-set table is computed ONCE and checkpointed eagerly, then
+    The shingle-set table is computed ONCE and materialized eagerly, then
     feeds both the signature aggregation and the verify join — without the
     checkpoint the corpus would be scanned + shingled twice (signatures, then
     again behind the candidate join). Eager, not lazy: the round-2 A/B showed
     the DAG scheduler submits fan-out consumers before a lazy checkpoint has
     materialized blocks, recomputing the upstream subtree per consumer."""
-    sh = doc_shingle_sets(docs, shingle_n, text_col).localCheckpoint(eager=True)
+    from kbgen_spark.plans.lineage import materialize_fanout
+
+    sh = materialize_fanout(doc_shingle_sets(docs, shingle_n, text_col))
     sig = minhash_signatures_from_sets(sh, k, shingle_hash)
     cand = lsh_candidate_pairs(sig, "doc_id", k, bands)
     a = sh.select(F.col("doc_id").alias("a"), F.col("sh").alias("sh_a"))

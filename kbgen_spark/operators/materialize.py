@@ -58,17 +58,34 @@ def assemble_triples(
     doc_pat = patterns.filter(F.col("scope") == "doc")
     span_pat = patterns.filter(F.col("scope") == "span")
 
-    # ---- doc scope: distinct entities per doc, typed pair join on doc_id
+    # ---- doc scope: distinct entities per doc, typed pair join on doc_id.
+    # PARTITIONING PIN (round-3 correction of the round-2 pin): the planner
+    # extracts (doc_id, obj_type)=(doc_id, type_c) as the equi-join keys —
+    # the type-match condition is an equality THROUGH the broadcast pattern
+    # join — and with requireAllClusterKeysForCoPartition (default) a
+    # repartition on doc_id alone does NOT satisfy the join's distribution,
+    # so Spark inserted its own ENSURE_REQUIREMENTS exchange on
+    # (doc_id, type) right after the pin... which AQE then coalesced by its
+    # tiny input BYTES, starving the row-EXPANDING join down to 1-2 tasks
+    # again (measured: 95 s flat at 2 AND 8 cores, 320k docs). Pinning both
+    # sides on the FULL equi-key list (same order) leaves no exchange for
+    # AQE to touch: the join runs at exactly n_part tasks (re-measured:
+    # scales with cores again).
     ents = canon_links.select("doc_id", "entity_c", "type_c").distinct()
-    ents = ents.repartition(n_part, "doc_id")
-    s = ents.alias("s").join(
-        F.broadcast(doc_pat).alias("p"), F.col("s.type_c") == F.col("p.subj_type")
+    s = (
+        ents.alias("s")
+        .join(
+            F.broadcast(doc_pat).alias("p"),
+            F.col("s.type_c") == F.col("p.subj_type"),
+        )
+        .repartition(n_part, F.col("s.doc_id"), F.col("p.obj_type"))
     )
+    ents_o = ents.repartition(n_part, "doc_id", "type_c")
     doc_triples = (
         s.join(
-            ents.alias("o"),
+            ents_o.alias("o"),
             (F.col("s.doc_id") == F.col("o.doc_id"))
-            & (F.col("o.type_c") == F.col("p.obj_type"))
+            & (F.col("p.obj_type") == F.col("o.type_c"))
             & (F.col("s.entity_c") != F.col("o.entity_c")),
         )
         .select(
@@ -80,14 +97,22 @@ def assemble_triples(
     )
 
     # ---- span scope: pair mentions within a span, gap + order constraints
+    # (same full-equi-key pin: keys are doc_id, span_idx, obj_type/type_c)
     m = canon_links.select("doc_id", "span_idx", "tok_start", "entity_c", "type_c")
-    m = m.repartition(n_part, "doc_id", "span_idx")
-    ms = m.alias("s").join(
-        F.broadcast(span_pat).alias("p"), F.col("s.type_c") == F.col("p.subj_type")
+    ms = (
+        m.alias("s")
+        .join(
+            F.broadcast(span_pat).alias("p"),
+            F.col("s.type_c") == F.col("p.subj_type"),
+        )
+        .repartition(
+            n_part, F.col("s.doc_id"), F.col("s.span_idx"), F.col("p.obj_type")
+        )
     )
+    m_o = m.repartition(n_part, "doc_id", "span_idx", "type_c")
     span_triples = (
         ms.join(
-            m.alias("o"),
+            m_o.alias("o"),
             (F.col("s.doc_id") == F.col("o.doc_id"))
             & (F.col("s.span_idx") == F.col("o.span_idx"))
             & (F.col("o.type_c") == F.col("p.obj_type"))

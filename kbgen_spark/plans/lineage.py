@@ -90,6 +90,65 @@ class StageResult:
     manifest: dict
 
 
+_FANOUT_DIRS: list[str] = []
+
+
+def _cleanup_fanout_dirs() -> None:
+    import shutil
+
+    for d in _FANOUT_DIRS:
+        shutil.rmtree(d, ignore_errors=True)
+    _FANOUT_DIRS.clear()
+
+
+def materialize_fanout(df: DataFrame, mode: str | None = None) -> DataFrame:
+    """Materialize a fan-out stage output exactly once (consumed by several
+    downstream branches). Three storage paths, selectable via
+    ``$SPARK_GRAFT_CKPT``; measured head-to-head at 2 and 8 pinned cores,
+    160k docs (tools/bench_isolate.py, BENCH/BASELINE.md — the checkpoint
+    slice was round 2's dominant non-scaling term):
+
+    - ``disk`` (default): ``persist(DISK_ONLY)`` + count. Tasks spill
+      serialized blocks to executor-local disk (tmpfs here) in parallel and
+      never touch the deserialized memory store, so there is no shared
+      memory-store lock and no GC amplification. Checkpoint cost over the
+      un-checkpointed slice: +23.6 s @2 cores / +2.9 s @8 — the cheapest
+      AND best-scaling option at both levels.
+    - ``parquet``: write to ``spark.local.dir`` and re-read — a fresh
+      columnar scan downstream (+39.5 s / +10.4 s). The right mode when the
+      fan-out consumers benefit from column pruning, or on clusters where
+      the re-read should go to DFS.
+    - ``local``: ``localCheckpoint(eager=True)`` — deserialized block-
+      manager storage (+66.5 s / +13.6 s): the single shared memory store
+      every block write serializes through; kept for comparison.
+    """
+    mode = mode or os.environ.get("SPARK_GRAFT_CKPT", "disk")
+    if mode == "local":
+        return df.localCheckpoint(eager=True)
+    if mode == "disk":
+        from pyspark import StorageLevel
+
+        out = df.persist(StorageLevel.DISK_ONLY)
+        out.count()
+        return out
+    if mode != "parquet":
+        raise ValueError(f"unknown SPARK_GRAFT_CKPT mode: {mode!r}")
+    import atexit
+    import uuid
+
+    spark = df.sparkSession
+    try:
+        base = spark.conf.get("spark.local.dir").split(",")[0]
+    except Exception:
+        base = "/tmp"
+    path = os.path.join(base, "fanout-ckpt", uuid.uuid4().hex)
+    df.write.mode("overwrite").parquet(path)
+    if not _FANOUT_DIRS:
+        atexit.register(_cleanup_fanout_dirs)
+    _FANOUT_DIRS.append(path)
+    return spark.read.parquet(path)
+
+
 class ParquetSnapshotStore:
     def __init__(self, base_dir: str):
         self.base_dir = base_dir
@@ -282,17 +341,18 @@ def run_stage(
 
     Without a store, a stage whose output ``fan_out``s to multiple consumers
     (triple assembly scans links four times — subj/obj × doc/span scope) is
-    localCheckpoint'ed EAGERLY. Lazy was tried in round 1 ("saves a job"),
-    but measured 30% slower end-to-end (92s → 64s at 8 cores, 320k docs):
-    with a lazy checkpoint the DAG scheduler can submit several downstream
-    shuffle-map stages before any has materialized the blocks, and each one
-    recomputes the full upstream subtree (the mention UDF ran more than
-    once). Eager materializes exactly once in its own job. Single-consumer
-    stages stay fully lazy (a checkpoint there only buys block traffic)."""
+    materialized EAGERLY via materialize_fanout. Lazy was tried in round 1
+    ("saves a job"), but measured 30% slower end-to-end (92s → 64s at 8
+    cores, 320k docs): with a lazy checkpoint the DAG scheduler can submit
+    several downstream shuffle-map stages before any has materialized the
+    blocks, and each one recomputes the full upstream subtree (the mention
+    UDF ran more than once). Eager materializes exactly once in its own
+    job. Single-consumer stages stay fully lazy (a checkpoint there only
+    buys block traffic)."""
     if store is None:
         df = compute()
         if fan_out:
-            df = df.localCheckpoint(eager=True)
+            df = materialize_fanout(df)
         return StageResult(df, skipped=False, manifest={})
     phash = params_hash(params)
     man = store.load_manifest(stage, phash)

@@ -53,20 +53,26 @@ def main() -> None:
     def link_nockpt():
         return apply_canon_map(link_mentions(extract_mentions(docs, gaz), gaz), canon)
 
+    from kbgen_spark.plans.lineage import materialize_fanout
+
     out = {"cpus": cpus, "n_docs": n_docs}
-    for name, mk, ckpt in [
-        ("extract_only", extract_only, False),
-        ("link_nockpt", link_nockpt, False),
-        ("link_ckpt", link_nockpt, True),
+    for name, mk, ckpt_mode in [
+        ("extract_only", extract_only, None),
+        ("link_nockpt", link_nockpt, None),
+        ("link_ckpt_local", link_nockpt, "local"),
+        ("link_ckpt_parquet", link_nockpt, "parquet"),
+        ("link_ckpt_disk", link_nockpt, "disk"),
     ]:
         best = None
         for rep in range(3):  # rep 0 = warmup, then min-of-2
             t0 = time.time()
             df = mk()
-            if ckpt:
-                df = df.localCheckpoint(eager=True)
+            if ckpt_mode is not None:
+                df = materialize_fanout(df, mode=ckpt_mode)
             df.count()
             dt = time.time() - t0
+            if ckpt_mode == "local" or ckpt_mode == "disk":
+                df.unpersist(blocking=True)
             if rep > 0:
                 best = dt if best is None else min(best, dt)
         out[name] = round(best, 2)

@@ -63,9 +63,11 @@ def main() -> None:
         assemble_triples(wl, patterns).count()
         t["warmup"] = round(time.time() - t0, 2)
 
+    from kbgen_spark.plans.lineage import materialize_fanout
+
     def stage(name, df):
         t0 = time.time()
-        out = df.localCheckpoint(eager=True)
+        out = materialize_fanout(df)  # same mode the pipeline uses
         n = out.count()
         t[name] = round(time.time() - t0, 2)
         return out, n
