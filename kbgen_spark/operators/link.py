@@ -24,36 +24,40 @@ from kbgen_spark.functions.text import norm_surface
 def link_mentions(mentions: DataFrame, gazetteer: DataFrame) -> DataFrame:
     """mentions × gazetteer → links(doc_id, span_idx, offset, tok_start,
     mention, entity_id, entity_type, score). Unmatched mentions are dropped
-    (inner join) — the unlinked feed goes to canonicalization instead."""
-    cand = mentions.withColumn("nmention", norm_surface("mention")).join(
-        F.broadcast(gazetteer),
-        F.col("nmention") == F.col("surface_form"),
-        "inner",
+    (inner join) — the unlinked feed goes to canonicalization instead.
+
+    Scale shape (round 3): the candidate set and top-1 decision are a pure
+    function of the normalized mention, and the join equality pins
+    nmention == surface_form, which makes ``levenshtein(nmention,
+    surface_form) == 0`` identically — so the score reduces to exactly
+    ``prior`` and the whole scoring + ranking problem is a function of the
+    GAZETTEER alone. The per-surface top-1 verdict table (dictionary-sized,
+    rank by prior desc / entity_id asc) is computed once and broadcast; the
+    corpus-sized mention stream then does normalize + ONE broadcast hash
+    probe per row — no per-occurrence levenshtein, no corpus-sized window,
+    no second pass over the extract UDF. (The fuzzy 1/(1+levenshtein) term
+    becomes live again only if this join ever loosens to a non-equality
+    match — reintroduce per-candidate scoring in that case.)"""
+    w = Window.partitionBy("surface_form").orderBy(
+        F.desc("prior"), F.asc("entity_id")
     )
-    scored = cand.withColumn(
-        "score",
-        F.col("prior")
-        * (F.lit(1.0) / (F.lit(1.0) + F.levenshtein("nmention", "surface_form"))),
-    )
-    # Top-1 per mention. When the gazetteer is uniquely keyed by surface_form
-    # (one candidate per mention — the common dictionary case), the rank
-    # window would shuffle the whole mention stream for nothing: skip it.
-    # The check costs ONE aggregate job over the tiny dictionary table.
-    cnt = gazetteer.agg(
-        F.count("*").alias("n_all"),
-        F.count_distinct("surface_form").alias("n_sf"),
-    ).collect()[0]
-    n_all, n_sf = cnt["n_all"], cnt["n_sf"]
-    if n_all == n_sf:
-        ranked = scored.withColumn("rn", F.lit(1))
-    else:
-        w = Window.partitionBy("doc_id", "span_idx", "tok_start").orderBy(
-            F.desc("score"), F.asc("entity_id")
-        )
-        ranked = scored.withColumn("rn", F.row_number().over(w))
-    return (
-        ranked
+    verdict = (
+        gazetteer.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
+        .select(
+            "surface_form",
+            "entity_id",
+            "entity_type",
+            (F.col("prior") * F.lit(1.0)).alias("score"),
+        )
+    )
+    return (
+        mentions.withColumn("nmention", norm_surface("mention"))
+        .join(
+            F.broadcast(verdict),
+            F.col("nmention") == F.col("surface_form"),
+            "inner",
+        )
         .select(
             "doc_id",
             "span_idx",
