@@ -947,11 +947,29 @@ def ann_recall_at_k(spark, sf_dir):
 
 
 def media_feature_extraction(spark, sf_dir):
+    """Media decode-contract plumbing as a driver row. The operator returns
+    ``feature array<float>``; the driver's canonicalizer pandas-sorts every
+    column, and list values are unhashable there — so the ENTRY projects the
+    array to a deterministic CSV string (the full-array values stay pinned in
+    tests/test_multimodal_contract.py; the operator's array API is untouched).
+    Rows-only check: no SQL oracle (mapInPandas decode)."""
     from kbgen_spark import fixtures as FX
     from kbgen_spark.operators.multimodal import extract_media_features, media_spans
 
     docs = FX.interleave_documents(FX.load_flat_documents(spark, sf_dir))
-    return extract_media_features(media_spans(docs))
+    feats = extract_media_features(media_spans(docs))
+    return feats.select(
+        "doc_id",
+        "span_idx",
+        "kind",
+        "media_ref",
+        "n_bytes",
+        "width",
+        "height",
+        F.array_join(
+            F.transform("feature", lambda x: F.format_number(x, 6)), ","
+        ).alias("feature_csv"),
+    )
 
 
 # --------------------------------------------------------------------------
@@ -1011,7 +1029,8 @@ def openvocab_minhash_pairs(spark, sf_dir):
 def openvocab_lsh_recall(spark, sf_dir):
     """LSH recall as a driver-checked single-row metric: n_exact = all pairs
     with 3-word-shingle Jaccard ≥ τ (inverted-index exact join), n_found =
-    those surviving the k=16/b=8 LSH blocking. Both engines compute both
+    those surviving the k=_OV_LSH_K / b=_OV_LSH_BANDS (16 hashes, 4 bands ×
+    4 rows) LSH blocking. Both engines compute both
     sides, so a sub-1.0 recall is *evidenced*, not hidden (the k/bands are
     sized so the fixture genuinely exercises recall < 1)."""
     from kbgen_spark.fixtures_openvocab import (

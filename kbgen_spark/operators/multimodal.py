@@ -59,9 +59,11 @@ def _decode_image_stub(payload: bytes, kind: str = "image") -> tuple[int, int, n
     - feature = column means of the bytes reshaped (-1, 8), / 255, float32
 
     These exact values are pinned by tests/test_multimodal_contract.py and
-    driver-checked rows-only via the media_feature_extraction entry, so the
-    seam's plumbing (schema, batching, ordering) is verified even though the
-    decode itself is synthetic. Swap in pil_image_decoder (below) or any
+    driver-checked rows-only via the media_feature_extraction entry (which
+    projects the feature array to a CSV string — the driver canonicalizer
+    cannot sort list-valued columns), so the seam's plumbing (schema,
+    batching, ordering) is verified even though the decode itself is
+    synthetic. Swap in pil_image_decoder (below) or any
     ``decode_fn(payload, kind)`` for real codecs — nothing else changes.
     """
     b = np.frombuffer(payload, dtype=np.uint8)
