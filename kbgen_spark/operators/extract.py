@@ -1,19 +1,23 @@
 """Stage EXTRACT — batched mention detection (SURVEY.md §2.9 V1, §3.2).
 
 The reference has no extraction stage (kbgen consumes RDF directly); the
-north_star mandates "vectorized pandas/Arrow UDFs perform batched mention
-detection ... per span sequence" (BASELINE.json:6).  Design:
+north_star mandates vectorized (never per-row) Python where Python is needed
+at all (BASELINE.json:6,15).  Two paths, bit-identical on exact matching:
 
-- ``posexplode(spans)`` + ``filter(kind='text')`` — JVM-side; nested-schema
-  pruning means media bytes are never read here.
-- mention detection is an **Iterator[pd.Series] pandas UDF**: the gazetteer
-  trie (a dict keyed by first token) is built once per Python worker per
-  batch-iterator, amortized across all Arrow batches — no per-row Python at
-  the Spark row level, and the per-batch loop is numpy/py-dict work over an
-  Arrow-materialized batch.
-- semantics (mirrored by tests/golden oracle): greedy longest-match scan over
-  whitespace tokens; phrases up to MAX_PHRASE_TOKENS tokens; on a match the
-  scan advances past the matched tokens.
+- **default (round 4): pure Catalyst** — broadcast-join token uni/bigrams
+  against the gazetteer, then a greedy-cursor ``F.aggregate`` fold per span
+  (extract_mentions_sql). Exact dictionary matching needs no Python at all;
+  this removed the last Python UDF from the pipeline's hot path (the
+  0.71–0.78 pinned extract-slice scaling ceiling of rounds 2–3).
+- **fuzzy seam: Iterator[pd.Series] pandas UDF** — the gazetteer trie (a
+  dict keyed by first token) is built once per Python worker per
+  batch-iterator, amortized across all Arrow batches. Kept behind
+  ``use_udf=True`` for matching semantics Catalyst can't express (edit-
+  distance tries, context models).
+- semantics (mirrored by tests/golden oracle + the kg_mentions_greedy_sql
+  DuckDB oracle): greedy longest-match scan over whitespace tokens; phrases
+  up to MAX_PHRASE_TOKENS tokens; on a match the scan advances past the
+  matched tokens.
 
 Output: ``mentions(doc_id, span_idx, offset, tok_start, mention)``.
 """
@@ -114,11 +118,133 @@ def explode_text_spans(docs: DataFrame) -> DataFrame:
     )
 
 
-def extract_mentions(docs: DataFrame, gazetteer: DataFrame) -> DataFrame:
-    """docs × gazetteer → mentions. The gazetteer is collected to the driver
-    (it is a dictionary table, ≪ corpus by construction — enforced by the
-    GAZETTEER_MAX_SURFACES cap) and ``sc.broadcast`` to executors: one
-    transfer per executor instead of one closure pickle per task."""
+MENTIONS_ACC_T = "array<struct<mention:string,tok_start:int>>"
+
+
+def extract_mentions_sql(docs: DataFrame, gazetteer: DataFrame) -> DataFrame:
+    """Pure-Catalyst exact mention detection — bit-identical semantics to the
+    pandas-UDF scan (equality pinned by tests), zero Python in the plan.
+
+    Exact gazetteer matching doesn't need a trie: with MAX_PHRASE_TOKENS=2,
+    every possible match is a token unigram or an adjacent bigram, so
+
+    1. explode (pos, tok, next_tok) per text span — narrow, JVM;
+    2. broadcast-join tokens against 1-token surfaces and (tok ∥ ' ' ∥ next)
+       against 2-token surfaces → the CANDIDATE set (matched positions only —
+       ≪ corpus, this is the only thing that ever shuffles);
+    3. regroup candidates per span (sorted by (pos, len desc)) and replay the
+       greedy longest-match scan as an ``F.aggregate`` cursor fold: emit a
+       candidate iff its pos has not been consumed by a previous emission,
+       advancing the cursor past the matched tokens. The fold is exactly the
+       reference automaton (detect_mentions_py), run inside codegen.
+
+    Scale: the gazetteer never touches the driver (no collect, no 5M cap —
+    two broadcast hash joins), the corpus-sized token stream stays in its
+    scan partitions, and the single shuffle carries only candidate rows.
+    The UDF path (extract_mentions(use_udf=True)) remains as the seam for
+    FUZZY matching, where per-candidate Python scoring is genuinely needed.
+    """
+    surfaces = gazetteer.select("surface_form").distinct()
+    g1 = surfaces.filter(~F.col("surface_form").contains(" ")).withColumnRenamed(
+        "surface_form", "_sf1"
+    )
+    g2 = surfaces.filter(
+        F.size(F.split("surface_form", " ")) == 2
+    ).withColumnRenamed("surface_form", "_sf2")
+
+    ts = explode_text_spans(docs).withColumn("_t", F.split("span_text", " "))
+    tok = ts.withColumn(
+        "_nxt",
+        F.concat(
+            F.slice(F.col("_t"), 2, F.greatest(F.size("_t") - 1, F.lit(0))),
+            F.array(F.lit(None).cast("string")),
+        ),
+    ).select(
+        "doc_id",
+        "span_idx",
+        "offset",
+        F.posexplode(F.arrays_zip("_t", "_nxt")).alias("pos", "tc"),
+    )
+
+    uni = tok.join(F.broadcast(g1), tok["tc._t"] == F.col("_sf1")).select(
+        "doc_id",
+        "span_idx",
+        "offset",
+        "pos",
+        F.lit(-1).alias("nl"),  # negated length: sort_array puts longer first
+        F.col("tc._t").alias("mention"),
+    )
+    big = (
+        tok.filter(F.col("tc._nxt").isNotNull())
+        .withColumn("_bg", F.concat(F.col("tc._t"), F.lit(" "), F.col("tc._nxt")))
+        .join(F.broadcast(g2), F.col("_bg") == F.col("_sf2"))
+        .select(
+            "doc_id",
+            "span_idx",
+            "offset",
+            "pos",
+            F.lit(-2).alias("nl"),
+            F.col("_bg").alias("mention"),
+        )
+    )
+
+    grouped = (
+        uni.unionByName(big)
+        .groupBy("doc_id", "span_idx", "offset")
+        .agg(
+            F.sort_array(F.collect_list(F.struct("pos", "nl", "mention"))).alias("c")
+        )
+    )
+    # Greedy cursor fold: candidates arrive (pos asc, len desc); one is
+    # emitted iff pos >= cursor, moving the cursor to pos + len — identical
+    # to the reference scan (a consumed position skips BOTH its bigram and
+    # unigram candidate; an emitted unigram consumes nothing beyond itself).
+    sel = F.aggregate(
+        F.col("c"),
+        F.expr(f"named_struct('cur', 0, 'acc', cast(array() as {MENTIONS_ACC_T}))"),
+        lambda st, c: F.when(
+            c["pos"] >= st["cur"],
+            F.struct(
+                (c["pos"] - c["nl"]).alias("cur"),
+                F.concat(
+                    st["acc"],
+                    F.array(
+                        F.struct(
+                            c["mention"].alias("mention"),
+                            c["pos"].alias("tok_start"),
+                        )
+                    ),
+                ).alias("acc"),
+            ),
+        ).otherwise(st),
+        lambda st: st["acc"],
+    )
+    return (
+        grouped.select("doc_id", "span_idx", "offset", F.explode(sel).alias("m"))
+        .select(
+            "doc_id",
+            "span_idx",
+            "offset",
+            F.col("m.mention").alias("mention"),
+            F.col("m.tok_start").alias("tok_start"),
+        )
+    )
+
+
+def extract_mentions(
+    docs: DataFrame, gazetteer: DataFrame, use_udf: bool = False
+) -> DataFrame:
+    """docs × gazetteer → mentions(doc_id, span_idx, offset, mention,
+    tok_start).
+
+    Default path is the pure-Catalyst broadcast-join + greedy fold
+    (extract_mentions_sql) — no Python worker in the plan. ``use_udf=True``
+    selects the Iterator-pandas-UDF trie scan: the gazetteer is collected to
+    the driver (dictionary table ≪ corpus, enforced by GAZETTEER_MAX_SURFACES)
+    and ``sc.broadcast`` to executors. Both paths are bit-identical on exact
+    matching (pinned by tests); the UDF seam exists for fuzzy extensions."""
+    if not use_udf:
+        return extract_mentions_sql(docs, gazetteer)
     surface_forms = [r[0] for r in gazetteer.select("surface_form").distinct().collect()]
     if len(surface_forms) > GAZETTEER_MAX_SURFACES:
         raise ValueError(

@@ -63,14 +63,32 @@ def cosine_topk(
     )
 
 
-def hyperplane_bucket(col, nbits: int = 8, dim: int = 64, seed: int = 42):
+def md5_sign_hash(b: int, j) -> object:
+    """Cross-engine-mirrorable hyperplane sign source: first 15 hex chars of
+    md5('hp:<bit>:<component>') as a positive 60-bit bigint — DuckDB computes
+    the identical value (``cast('0x'||substr(md5(...),1,15) as bigint)``), so
+    an oracle can replay the exact bucket assignment (same trick as the
+    minhash/simhash md5-60-bit variants). Pass as ``sign_hash`` to
+    hyperplane_bucket/ivf_topk for driver-oracled entries."""
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"hp:{b}:"), j.cast("string"))), 1, 15),
+        16,
+        10,
+    ).cast("bigint")
+
+
+def hyperplane_bucket(col, nbits: int = 8, dim: int = 64, seed: int = 42, sign_hash=None):
     """Deterministic random-hyperplane LSH bucket id (0..2^nbits-1).
 
     Hyperplane h_b component j = ±1 chosen by xxhash64(b, j, seed) — a pure
     SQL derivation (no stored model), identical on every executor/run. The
     sign pattern approximates a random projection; sign(v·h_b) gives bit b.
+    ``sign_hash(b, j) -> Column`` overrides the sign source (md5_sign_hash
+    gives a DuckDB-mirrorable family; default xxhash64 stays the fast path).
     """
     def _signed(b):
+        if sign_hash is not None:
+            return lambda x, j: F.when(sign_hash(b, j) % 2 == 0, x).otherwise(-x)
         return lambda x, j: F.when(
             F.pmod(F.xxhash64(F.lit(b), j.cast("bigint"), F.lit(seed)), F.lit(2)) == 0,
             x,
@@ -94,6 +112,7 @@ def ivf_topk(
     nbits: int = 6,
     dim: int = 64,
     probes: int = 1,
+    sign_hash=None,
 ) -> DataFrame:
     """ANN top-k: score only within the query's LSH bucket(s).
 
@@ -107,9 +126,9 @@ def ivf_topk(
     tests/test_ops.py::test_ivf_recall. Only the QUERY side fans out ×probes
     (queries ≪ corpus), the corpus is still hashed once."""
     e = normalize(embeddings).select("vec_id", F.col("embedding").alias("v"))
-    e = e.withColumn("bucket", hyperplane_bucket(F.col("v"), nbits, dim))
+    e = e.withColumn("bucket", hyperplane_bucket(F.col("v"), nbits, dim, sign_hash=sign_hash))
     q = normalize(queries, "embedding").select("qid", F.col("embedding").alias("qv"))
-    q = q.withColumn("bucket", hyperplane_bucket(F.col("qv"), nbits, dim))
+    q = q.withColumn("bucket", hyperplane_bucket(F.col("qv"), nbits, dim, sign_hash=sign_hash))
     if probes > 1:
         nflip = min(probes - 1, nbits)
         probe_arr = F.array(
