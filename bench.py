@@ -61,6 +61,12 @@ def run_bench(
     run_pipeline(
         spark, sf_dir, docs=warm_docs, gazetteer=gaz, patterns=patterns
     ).triples.count()
+    from kbgen_spark.plans.lineage import release_fanouts
+
+    # The warmup's canon stage has an IDENTICAL plan to the timed reps'
+    # (build_canon_map(gazetteer)) — without an unpersist the reps would
+    # silently cache-hit its persisted output and measure a cache read.
+    release_fanouts()
 
     # min-of-N repeats: this is a shared VM whose background load swings a
     # single run ~2× (measured); the minimum over same-JVM repeats is the
@@ -68,14 +74,16 @@ def run_bench(
     repeat = int(os.environ.get("SPARK_GRAFT_REPEAT", "2"))
     best = None
     for _ in range(repeat):
-        import gc
-
-        gc.collect()  # drop prior-rep checkpoint refs → ContextCleaner frees blocks
         t0 = time.time()
         run = run_pipeline(spark, sf_dir, docs=docs, gazetteer=gaz, patterns=patterns)
         triples = run.triples.localCheckpoint(eager=True)
         dt = round(time.time() - t0, 3)
         best = dt if best is None else min(best, dt)
+        # Free this rep's fan-out blocks: persist() modes register strong
+        # CacheManager refs that gc.collect() does NOT release, and a
+        # cache-hit on the previous rep's persisted stage would make
+        # min-of-N partially measure cache reads instead of recompute.
+        release_fanouts()
     timings["pipeline_e2e"] = best
 
     if not only_pipeline:

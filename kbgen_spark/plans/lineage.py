@@ -91,6 +91,7 @@ class StageResult:
 
 
 _FANOUT_DIRS: list[str] = []
+_FANOUT_PERSISTED: list[DataFrame] = []
 
 
 def _cleanup_fanout_dirs() -> None:
@@ -99,6 +100,24 @@ def _cleanup_fanout_dirs() -> None:
     for d in _FANOUT_DIRS:
         shutil.rmtree(d, ignore_errors=True)
     _FANOUT_DIRS.clear()
+
+
+def release_fanouts() -> None:
+    """Unpersist every DataFrame materialized by materialize_fanout's
+    persist-based modes (disk/local). CacheManager holds STRONG refs to
+    persisted plans — dropping the Python handle does NOT free the blocks
+    (and an identical re-built plan would silently cache-hit stale data) —
+    so long sessions that run the pipeline repeatedly (bench repeat loops,
+    pytest, notebook use) must call this once the consuming stage's actions
+    have completed. Parquet-mode temp dirs are left for the atexit sweep:
+    a parquet fan-out read is re-executable lazily, so deleting the files
+    mid-session could break a consumer that has not materialized yet."""
+    for df in _FANOUT_PERSISTED:
+        try:
+            df.unpersist()
+        except Exception:
+            pass  # session already stopped — nothing to free
+    _FANOUT_PERSISTED.clear()
 
 
 def materialize_fanout(df: DataFrame, mode: str | None = None) -> DataFrame:
@@ -124,12 +143,15 @@ def materialize_fanout(df: DataFrame, mode: str | None = None) -> DataFrame:
     """
     mode = mode or os.environ.get("SPARK_GRAFT_CKPT", "disk")
     if mode == "local":
-        return df.localCheckpoint(eager=True)
+        out = df.localCheckpoint(eager=True)
+        _FANOUT_PERSISTED.append(out)
+        return out
     if mode == "disk":
         from pyspark import StorageLevel
 
         out = df.persist(StorageLevel.DISK_ONLY)
         out.count()
+        _FANOUT_PERSISTED.append(out)
         return out
     if mode != "parquet":
         raise ValueError(f"unknown SPARK_GRAFT_CKPT mode: {mode!r}")
