@@ -124,24 +124,36 @@ def materialize_fanout(df: DataFrame, mode: str | None = None) -> DataFrame:
     """Materialize a fan-out stage output exactly once (consumed by several
     downstream branches). Three storage paths, selectable via
     ``$SPARK_GRAFT_CKPT``; measured head-to-head at 2 and 8 pinned cores,
-    160k docs (tools/bench_isolate.py, BENCH/BASELINE.md — the checkpoint
-    slice was round 2's dominant non-scaling term):
+    160k docs (tools/bench_isolate.py) AND — round 4, after the round-3
+    disk default regressed the driver bench 43% at local[32] — at the
+    driver's own 32 threads (BENCH/BASELINE.md):
 
-    - ``disk`` (default): ``persist(DISK_ONLY)`` + count. Tasks spill
-      serialized blocks to executor-local disk (tmpfs here) in parallel and
-      never touch the deserialized memory store, so there is no shared
+    - ``auto`` (default): ``parquet`` at ≥16-way parallelism, ``disk``
+      below. Round-3 picked disk from pinned 2-vs-8-core A/Bs only; at
+      local[32] the persist+count materialization job serializes through
+      the shared block manager while the parquet write commits files purely
+      per-task (min-of-3 A/B ×3 alternating passes, 80k docs: parquet
+      9.2 s / disk 10.5 / local 12.7 at 32 threads; at 2–8 pinned cores
+      disk keeps winning: +2.9 s vs parquet's +10.4 at 8). Mode selection
+      follows the session's actual parallelism instead of freezing either
+      regime's winner.
+    - ``disk``: ``persist(DISK_ONLY)`` + count. Tasks spill serialized
+      blocks to executor-local disk (tmpfs here) in parallel and never
+      touch the deserialized memory store, so there is no shared
       memory-store lock and no GC amplification. Checkpoint cost over the
       un-checkpointed slice: +23.6 s @2 cores / +2.9 s @8 — the cheapest
-      AND best-scaling option at both levels.
+      AND best-scaling option at low core counts.
     - ``parquet``: write to ``spark.local.dir`` and re-read — a fresh
-      columnar scan downstream (+39.5 s / +10.4 s). The right mode when the
-      fan-out consumers benefit from column pruning, or on clusters where
-      the re-read should go to DFS.
+      columnar scan downstream; consumers get column pruning, and on
+      clusters the re-read can go to DFS.
     - ``local``: ``localCheckpoint(eager=True)`` — deserialized block-
-      manager storage (+66.5 s / +13.6 s): the single shared memory store
-      every block write serializes through; kept for comparison.
+      manager storage: the single shared memory store every block write
+      serializes through; kept for comparison (worst at every measured
+      parallelism).
     """
-    mode = mode or os.environ.get("SPARK_GRAFT_CKPT", "disk")
+    mode = mode or os.environ.get("SPARK_GRAFT_CKPT", "auto")
+    if mode == "auto":
+        mode = "parquet" if df.sparkSession.sparkContext.defaultParallelism >= 16 else "disk"
     if mode == "local":
         out = df.localCheckpoint(eager=True)
         _FANOUT_PERSISTED.append(out)
