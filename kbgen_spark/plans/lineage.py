@@ -154,6 +154,11 @@ def materialize_fanout(df: DataFrame, mode: str | None = None) -> DataFrame:
     mode = mode or os.environ.get("SPARK_GRAFT_CKPT", "auto")
     if mode == "auto":
         mode = "parquet" if df.sparkSession.sparkContext.defaultParallelism >= 16 else "disk"
+    if mode == "none":
+        # no materialization: downstream consumers recompute the stage's
+        # subtree. Correct (everything is deterministic) and competitive
+        # when the subtree is cheap JVM work — A/B-able per run.
+        return df
     if mode == "local":
         out = df.localCheckpoint(eager=True)
         _FANOUT_PERSISTED.append(out)
