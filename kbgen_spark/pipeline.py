@@ -21,8 +21,8 @@ from kbgen_spark import fixtures as FX
 from kbgen_spark.operators.canonicalize import similar_surface_edges
 from kbgen_spark.operators.extract import extract_mentions
 from kbgen_spark.operators.graph import connected_components
-from kbgen_spark.operators.link import link_mentions
-from kbgen_spark.operators.materialize import apply_canon_map, assemble_triples
+from kbgen_spark.operators.link import link_and_canonicalize
+from kbgen_spark.operators.materialize import assemble_triples
 from kbgen_spark.plans.lineage import (
     ParquetSnapshotStore,
     dataframe_fingerprint,
@@ -33,6 +33,14 @@ from kbgen_spark.plans.lineage import (
 LSH_BANDS = 16  # r = 2 rows/band: ≥99.9% recall at jaccard ≥ 0.6 (see canon docs)
 LSH_K = 32
 JACCARD_T = 0.5
+
+# Below this many gazetteer rows the canon stage runs driver-local (same
+# size-adaptive design as connected_components.local_threshold): the
+# distributed chain is ~10 dictionary-sized shuffle stages whose cost is
+# pure scheduler/AQE latency (measured 3-5 s at local[32] for a 41-component
+# graph). The local path is bit-equal (test-pinned) and leaves the
+# distributed path untouched for corpus-scale gazetteers.
+CANON_LOCAL_THRESHOLD = 100_000
 
 
 @dataclass
@@ -48,10 +56,110 @@ class PipelineRun:
         return dict(self.observation.get) if self.observation is not None else {}
 
 
-def build_canon_map(gazetteer: DataFrame) -> DataFrame:
+def _build_canon_map_local(
+    spark: SparkSession, gaz_rows: list, sig_rows: list
+) -> DataFrame:
+    """Driver-side mirror of the distributed canon chain, bit-equal by
+    construction (pinned by test_canon_local_equals_distributed):
+
+    - band buckets group signatures by the EQUAL band slice (the xxhash64
+      bucket code in lsh_candidate_pairs exists only to give the slice an
+      equi-join key — equality of slices is the semantics, so no hash
+      mirroring is needed);
+    - candidate pairs a < b (Python str ordering == Spark UTF8String binary
+      ordering: UTF-8 byte order preserves code-point order);
+    - exact char-bigram Jaccard ≥ JACCARD_T (char_ngrams semantics: whole
+      string when len < 2; |∩|/|∪| as IEEE double — identical division);
+    - union-find with min-root == connected_components' min-member contract;
+    - canon per component / per entity via min (id, type) tuples == Spark's
+      min(struct(...)) lexicographic field ordering.
+    """
+    r = LSH_K // LSH_BANDS
+    buckets: dict = {}
+    for row in sig_rows:
+        sf, sig = row["surface_form"], row["sig"]
+        for b in range(LSH_BANDS):
+            buckets.setdefault((b, tuple(sig[b * r : (b + 1) * r])), []).append(sf)
+
+    def bigrams(s: str) -> set:
+        return {s[i : i + 2] for i in range(len(s) - 1)} if len(s) >= 2 else {s}
+
+    cand = set()
+    for members in buckets.values():
+        if len(members) > 1:
+            ms = sorted(set(members))
+            for i, a in enumerate(ms):
+                for b2 in ms[i + 1 :]:
+                    cand.add((a, b2))
+
+    parent: dict = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b2 in cand:
+        sa, sb = bigrams(a), bigrams(b2)
+        if len(sa & sb) / len(sa | sb) >= JACCARD_T:
+            ra, rb = find(a), find(b2)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+
+    comp = {row["surface_form"]: None for row in gaz_rows}
+    for s in comp:
+        comp[s] = find(s) if s in parent else s
+
+    canon: dict = {}  # component -> min (entity_id, entity_type)
+    for row in gaz_rows:
+        c = comp[row["surface_form"]]
+        key = (row["entity_id"], row["entity_type"])
+        if c not in canon or key < canon[c]:
+            canon[c] = key
+    m: dict = {}  # entity_id -> min (canon_id, canon_type)
+    for row in gaz_rows:
+        ck = canon[comp[row["surface_form"]]]
+        e = row["entity_id"]
+        if e not in m or ck < m[e]:
+            m[e] = ck
+    rows = [(e, cid, ct) for e, (cid, ct) in sorted(m.items())]
+    return spark.createDataFrame(
+        rows, "entity_id string, canon_id string, canon_type string"
+    )
+
+
+def build_canon_map(
+    gazetteer: DataFrame, local_threshold: int = CANON_LOCAL_THRESHOLD
+) -> DataFrame:
     """Surface-form similarity edges → connected components → per-component
     canonical entity (min entity_id, with its type). Returns
-    (entity_id, canon_id, canon_type)."""
+    (entity_id, canon_id, canon_type).
+
+    Size-adaptive: a gazetteer under ``local_threshold`` rows resolves
+    driver-side (2 dictionary-sized jobs — a truncating collect and the
+    MinHash signature aggregate — instead of ~10 shuffle stages); pass 0 to
+    force the distributed path (property tests exercise both)."""
+    if local_threshold:
+        from kbgen_spark.operators.canonicalize import minhash_signatures
+
+        gaz_rows = (
+            gazetteer.select("surface_form", "entity_id", "entity_type")
+            .limit(local_threshold + 1)
+            .collect()
+        )
+        if len(gaz_rows) <= local_threshold:
+            spark = gazetteer.sparkSession
+            surfaces = sorted({r["surface_form"] for r in gaz_rows})
+            sig_rows = minhash_signatures(
+                spark.createDataFrame(
+                    [(s,) for s in surfaces], "surface_form string"
+                ),
+                "surface_form",
+                LSH_K,
+            ).collect()
+            return _build_canon_map_local(spark, gaz_rows, sig_rows)
     edges = similar_surface_edges(
         gazetteer, "surface_form", k=LSH_K, bands=LSH_BANDS, threshold=JACCARD_T
     ).select(F.col("a").alias("src"), F.col("b").alias("dst"))
@@ -152,7 +260,13 @@ def run_pipeline(
         "link",
         params,
         in_fp,
-        lambda: apply_canon_map(link_mentions(ext.df, gazetteer), canon.df),
+        # Fused: the link verdict and canon map are both dictionary-sized,
+        # so they compose on the broadcast side — ONE hash probe per mention
+        # row instead of two, and no norm_surface pass (extract emits
+        # mentions by exact surface-form equality; see link_mentions).
+        lambda: link_and_canonicalize(
+            ext.df, gazetteer, canon.df, pre_normalized=True
+        ),
     )
     run.stages["link"] = lnk
     if lnk.skipped:

@@ -87,6 +87,38 @@ def test_link_top1_prefers_exact_and_prior(spark):
     assert len(out) == 1 and out[0]["entity_id"] == "E1"
 
 
+def test_fused_link_canon_equals_two_step(spark, docs, gazetteer):
+    """link_and_canonicalize(pre_normalized=True) is bit-equal to
+    apply_canon_map(link_mentions(...)) on pipeline-fed mentions — the fused
+    dictionary-side composition and the skipped norm_surface pass change the
+    plan, never the rows."""
+    from kbgen_spark.operators.link import link_and_canonicalize
+    from kbgen_spark.operators.materialize import apply_canon_map
+
+    mentions = extract_mentions(docs, gazetteer)
+    canon = build_canon_map(gazetteer)
+    two_step = apply_canon_map(link_mentions(mentions, gazetteer), canon)
+    fused = link_and_canonicalize(mentions, gazetteer, canon, pre_normalized=True)
+    cols = two_step.columns
+    assert fused.columns == cols
+    a = sorted(tuple(r) for r in two_step.collect())
+    b = sorted(tuple(r) for r in fused.collect())
+    assert a == b and len(a) > 0
+
+
+def test_gazetteer_surfaces_are_norm_fixed_points(spark, gazetteer):
+    """The pre_normalized link fast path assumes mentions (== surface forms,
+    by extract's exact-equality match) probe the same verdict row that
+    norm_surface(mention) would — guaranteed when every surface form is a
+    fixed point of norm_surface. Pin it for the fixture gazetteer."""
+    from kbgen_spark.functions.text import norm_surface
+
+    drift = gazetteer.filter(
+        norm_surface("surface_form") != F.col("surface_form")
+    ).count()
+    assert drift == 0
+
+
 def test_unmatched_mentions_dropped(spark):
     gaz = spark.createDataFrame(
         [("scan", "E1", "thing", 0.9)],
@@ -129,6 +161,20 @@ def test_canon_map_matches_golden(spark, gazetteer):
     pd.testing.assert_frame_equal(
         got.reset_index(drop=True), exp, check_dtype=False, check_like=True
     )
+
+
+def test_canon_local_equals_distributed(spark, gazetteer):
+    """The driver-local canon fast path (dictionary-sized gazetteers) must be
+    bit-equal to the distributed LSH→CC chain — same bands, same verify
+    threshold, same min-struct tie-breaks."""
+    local = build_canon_map(gazetteer).orderBy("entity_id").collect()
+    dist = (
+        build_canon_map(gazetteer, local_threshold=0)
+        .orderBy("entity_id")
+        .collect()
+    )
+    assert [tuple(r) for r in local] == [tuple(r) for r in dist]
+    assert len(local) > 0
 
 
 def test_e2e_matches_golden_pr_1(spark, docs, gazetteer, patterns):

@@ -29,9 +29,8 @@ def main() -> None:
 
     from kbgen_spark import fixtures as FX
     from kbgen_spark.operators.extract import extract_mentions
-    from kbgen_spark.operators.link import link_mentions
-    from kbgen_spark.operators.materialize import apply_canon_map
-    from kbgen_spark.pipeline import build_canon_map
+    from kbgen_spark.operators.link import link_and_canonicalize
+        from kbgen_spark.pipeline import build_canon_map
     from kbgen_spark.session import get_spark
 
     spark = get_spark(
@@ -51,7 +50,7 @@ def main() -> None:
         return extract_mentions(docs, gaz)
 
     def link_nockpt():
-        return apply_canon_map(link_mentions(extract_mentions(docs, gaz), gaz), canon)
+        return link_and_canonicalize(extract_mentions(docs, gaz), gaz, canon, pre_normalized=True)
 
     from kbgen_spark.plans.lineage import materialize_fanout
 

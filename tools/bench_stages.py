@@ -31,8 +31,8 @@ def main() -> None:
 
     from kbgen_spark import fixtures as FX
     from kbgen_spark.operators.extract import extract_mentions
-    from kbgen_spark.operators.link import link_mentions
-    from kbgen_spark.operators.materialize import apply_canon_map, assemble_triples
+    from kbgen_spark.operators.link import link_and_canonicalize
+    from kbgen_spark.operators.materialize import assemble_triples
     from kbgen_spark.pipeline import build_canon_map
     from kbgen_spark.session import get_spark
 
@@ -59,7 +59,7 @@ def main() -> None:
         t0 = time.time()
         wdocs = FX.replicate_documents(FX.interleave_documents(flat), 1)
         wc = build_canon_map(gaz)
-        wl = apply_canon_map(link_mentions(extract_mentions(wdocs, gaz), gaz), wc)
+        wl = link_and_canonicalize(extract_mentions(wdocs, gaz), gaz, wc, pre_normalized=True)
         assemble_triples(wl, patterns).count()
         t["warmup"] = round(time.time() - t0, 2)
 
@@ -74,7 +74,7 @@ def main() -> None:
 
     ext, n_m = stage("extract", extract_mentions(docs, gaz))
     canon, n_c = stage("canon", build_canon_map(gaz))
-    lnk, n_l = stage("link", apply_canon_map(link_mentions(ext, gaz), canon))
+    lnk, n_l = stage("link", link_and_canonicalize(ext, gaz, canon, pre_normalized=True))
     t0 = time.time()
     n_t = assemble_triples(lnk, patterns).count()
     t["materialize"] = round(time.time() - t0, 2)
