@@ -40,11 +40,17 @@ def run_bench(
     # --- headline: the KG construction pipeline over a replicated corpus
     flat = FX.load_flat_documents(spark, sf_dir)
     n_docs = flat.count() * max(replicate, 1)
-    # Partition count scales with DATA, floored at one wave and capped at 4
-    # waves per stage (measured both ways: 128 partitions on a 20k-doc run
-    # is 2.4× slower than 32 — task dispatch dominates; 16 partitions on a
-    # 320k-doc 8-core run leaves last-wave stragglers idling cores).
-    parts = max(cpus, min(4 * cpus, n_docs // 2500))
+    # Partition count scales with DATA (bounded rows per partition), floored
+    # at one wave. The round-2 cap at 4×cpus was a ×256 scale-killer: at
+    # 1.28M docs / 32 partitions each extract-stage task aggregated ~2.1M
+    # candidate structs, and with 8 concurrent tasks each holding 1/8 of the
+    # unified execution-memory pool the aggregates SPILLED — while the
+    # 2-core leg (1/2 pool per task) did not, so the 8-core leg degraded
+    # 2.6× and faked a 0.34-0.63 scaling efficiency (measured, round 4).
+    # Bounding rows-per-partition instead keeps per-task memory constant at
+    # any corpus size — the same rule a 100 TB deployment uses (task
+    # dispatch is ~ms; spills are the thing that does not scale).
+    parts = max(cpus, n_docs // 2500)
     spark.conf.set("spark.sql.shuffle.partitions", str(parts))
     docs = FX.replicate_documents(FX.interleave_documents(flat), replicate)
     docs = docs.repartition(parts).localCheckpoint(eager=True)

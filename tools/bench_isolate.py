@@ -30,7 +30,7 @@ def main() -> None:
     from kbgen_spark import fixtures as FX
     from kbgen_spark.operators.extract import extract_mentions
     from kbgen_spark.operators.link import link_and_canonicalize
-        from kbgen_spark.pipeline import build_canon_map
+    from kbgen_spark.pipeline import build_canon_map
     from kbgen_spark.session import get_spark
 
     spark = get_spark(
