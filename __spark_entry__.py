@@ -612,15 +612,19 @@ def kg_mentions_by_entity(spark, sf_dir):
 def kg_mentions_greedy_sql(spark, sf_dir):
     """V1 mention detection with a REAL oracle (round 4): the pure-Catalyst
     greedy longest-match scan (extract_mentions_sql — broadcast uni/bigram
-    joins + cursor fold) over the FULL gazetteer (unigrams + top-10 bigram
-    phrases + plural variants), on flat docs treated as one text span each.
-    DuckDB replays the same greedy automaton via island-parity windows:
-    a bigram candidate is selected iff its offset within a run of consecutive
-    bigram candidates is even (the unrolled form of the cursor recurrence),
-    and a unigram fires iff no bigram candidate sits at its position and the
-    previous position's bigram wasn't selected. Aggregated per mention
-    (count + sum of positions) so the compare stays compact while remaining
-    fully sensitive to WHICH positions greedy selection picked."""
+    joins + island-parity window replay) over the FULL gazetteer (unigrams +
+    top-10 bigram phrases + plural variants), on flat docs treated as one
+    text span each. DuckDB replays the same automaton with the same
+    island-parity windows — since the window formulation became the Spark
+    default too, engine and oracle run the SAME closed form on two engines,
+    while the fold formulation (extract_mentions_sql_fold, the literal
+    cursor automaton) stays pinned equal in pytest as the independent
+    cross-check: a bigram candidate is selected iff its row_number within a
+    run of consecutive bigram-candidate positions is odd, and a unigram
+    fires iff no bigram candidate sits at its position and the previous
+    position's bigram wasn't selected. Aggregated per mention (count + sum
+    of positions) so the compare stays compact while remaining fully
+    sensitive to WHICH positions greedy selection picked."""
     from kbgen_spark import fixtures as FX
     from kbgen_spark.operators.extract import extract_mentions_sql
 

@@ -5,10 +5,13 @@ north_star mandates vectorized (never per-row) Python where Python is needed
 at all (BASELINE.json:6,15).  Two paths, bit-identical on exact matching:
 
 - **default (round 4): pure Catalyst** — broadcast-join token uni/bigrams
-  against the gazetteer, then a greedy-cursor ``F.aggregate`` fold per span
-  (extract_mentions_sql). Exact dictionary matching needs no Python at all;
-  this removed the last Python UDF from the pipeline's hot path (the
-  0.71–0.78 pinned extract-slice scaling ceiling of rounds 2–3).
+  against the gazetteer, then replay the greedy scan in closed form with
+  island-parity window functions (extract_mentions_sql; the cursor-fold
+  formulation survives as extract_mentions_sql_fold, three-way equality
+  pinned). Exact dictionary matching needs no Python at all; this removed
+  the last Python UDF from the pipeline's hot path (the 0.71–0.78 pinned
+  extract-slice scaling ceiling of rounds 2–3), and the window replay then
+  removed the per-span candidate arrays (the next measured ceiling).
 - **fuzzy seam: Iterator[pd.Series] pandas UDF** — the gazetteer trie (a
   dict keyed by first token) is built once per Python worker per
   batch-iterator, amortized across all Arrow batches. Kept behind
@@ -121,9 +124,39 @@ def explode_text_spans(docs: DataFrame) -> DataFrame:
 MENTIONS_ACC_T = "array<struct<mention:string,tok_start:int>>"
 
 
+def _split_gazetteer(gazetteer: DataFrame):
+    surfaces = gazetteer.select("surface_form").distinct()
+    g1 = surfaces.filter(~F.col("surface_form").contains(" ")).withColumnRenamed(
+        "surface_form", "_sf1"
+    )
+    g2 = surfaces.filter(
+        F.size(F.split("surface_form", " ")) == 2
+    ).withColumnRenamed("surface_form", "_sf2")
+    return g1, g2
+
+
+def _token_stream(docs: DataFrame) -> DataFrame:
+    """(doc_id, span_idx, offset, pos, tc{_t, _nxt}) — one row per token with
+    its successor, the probe input for both candidate joins."""
+    ts = explode_text_spans(docs).withColumn("_t", F.split("span_text", " "))
+    return ts.withColumn(
+        "_nxt",
+        F.concat(
+            F.slice(F.col("_t"), 2, F.greatest(F.size("_t") - 1, F.lit(0))),
+            F.array(F.lit(None).cast("string")),
+        ),
+    ).select(
+        "doc_id",
+        "span_idx",
+        "offset",
+        F.posexplode(F.arrays_zip("_t", "_nxt")).alias("pos", "tc"),
+    )
+
+
 def extract_mentions_sql(docs: DataFrame, gazetteer: DataFrame) -> DataFrame:
     """Pure-Catalyst exact mention detection — bit-identical semantics to the
-    pandas-UDF scan (equality pinned by tests), zero Python in the plan.
+    pandas-UDF scan AND to the fold formulation (both pinned by tests), zero
+    Python in the plan and NO per-span array materialization.
 
     Exact gazetteer matching doesn't need a trie: with MAX_PHRASE_TOKENS=2,
     every possible match is a token unigram or an adjacent bigram, so
@@ -131,18 +164,96 @@ def extract_mentions_sql(docs: DataFrame, gazetteer: DataFrame) -> DataFrame:
     1. explode (pos, tok, next_tok) per text span — narrow, JVM;
     2. broadcast-join tokens against 1-token surfaces and (tok ∥ ' ' ∥ next)
        against 2-token surfaces → the CANDIDATE set (matched positions only —
-       ≪ corpus, this is the only thing that ever shuffles);
-    3. regroup candidates per span (sorted by (pos, len desc)) and replay the
-       greedy longest-match scan as an ``F.aggregate`` cursor fold: emit a
-       candidate iff its pos has not been consumed by a previous emission,
-       advancing the cursor past the matched tokens. The fold is exactly the
-       reference automaton (detect_mentions_py), run inside codegen.
+       ≪ corpus, the only thing that ever shuffles);
+    3. replay the greedy longest-match automaton in CLOSED FORM with window
+       functions over the bigram candidates (the same island-parity
+       formulation the DuckDB oracle uses, so oracle and engine are now the
+       same algorithm on two engines):
+       - only a FIRED bigram consumes a position beyond itself (a unigram
+         advances the cursor by exactly one), so a bigram candidate at pos p
+         is blocked iff the bigram at p-1 fired; within a maximal run of
+         consecutive bigram-candidate positions ("island") selection is
+         therefore odd-parity, and an island's first position always fires
+         (p-1 has no bigram candidate, and nothing else consumes ahead);
+       - a unigram fires iff its position has NO bigram candidate (a fired
+         one wins by longest-match; a blocked one means the position is
+         consumed) and the previous position's bigram wasn't selected.
+       Islands = pos − row_number() over (span, pos); selection = odd
+       row_number within the island; unigrams = two anti-joins.
+
+    The previous formulation — sort_array(collect_list(candidates)) + an
+    ``F.aggregate`` cursor fold, the literal reference automaton — is kept as
+    ``extract_mentions_sql_fold`` (three-way equality pinned by tests). The
+    window replay replaced it on measurement: the per-span candidate arrays
+    were the extract slice's dominant allocation cost on the 2-vs-8-core
+    campaign (same-JVM alternating A/B at ×64: 12.95s → 7.85s @8 pinned,
+    36.67s → 23.64s @2), and window frames stream instead of buffering a
+    span's candidates in an aggregate state.
 
     Scale: the gazetteer never touches the driver (no collect, no 5M cap —
     two broadcast hash joins), the corpus-sized token stream stays in its
-    scan partitions, and the single shuffle carries only candidate rows.
-    The UDF path (extract_mentions(use_udf=True)) remains as the seam for
-    FUZZY matching, where per-candidate Python scoring is genuinely needed.
+    scan partitions, and only candidate rows shuffle: once for the island
+    windows (bigrams), once per anti-join side (equi-keyed LeftAnti —
+    hash/SMJ, never a nested loop; exchange reuse applies, both anti-joins
+    share the unigram side's partitioning). Window keys are per-span —
+    fine-grained, skew-free. The UDF path (extract_mentions(use_udf=True))
+    remains as the seam for FUZZY matching, where per-candidate Python
+    scoring is genuinely needed.
+    """
+    from pyspark.sql import Window
+
+    g1, g2 = _split_gazetteer(gazetteer)
+    tok = _token_stream(docs)
+    m2 = (
+        tok.filter(F.col("tc._nxt").isNotNull())
+        .withColumn("_bg", F.concat(F.col("tc._t"), F.lit(" "), F.col("tc._nxt")))
+        .join(F.broadcast(g2), F.col("_bg") == F.col("_sf2"))
+        .select(
+            "doc_id", "span_idx", "offset", "pos", F.col("_bg").alias("mention")
+        )
+    )
+    w_span = Window.partitionBy("doc_id", "span_idx", "offset").orderBy("pos")
+    isl = m2.withColumn("grp", F.col("pos") - F.row_number().over(w_span))
+    w_grp = Window.partitionBy("doc_id", "span_idx", "offset", "grp").orderBy("pos")
+    m2sel = (
+        isl.withColumn("rn", F.row_number().over(w_grp))
+        .filter(F.col("rn") % 2 == 1)
+        .select("doc_id", "span_idx", "offset", "pos", "mention")
+    )
+    m1 = (
+        tok.join(F.broadcast(g1), tok["tc._t"] == F.col("_sf1"))
+        .select(
+            "doc_id", "span_idx", "offset", "pos", F.col("tc._t").alias("mention")
+        )
+        .join(
+            m2.select("doc_id", "span_idx", "offset", "pos"),
+            ["doc_id", "span_idx", "offset", "pos"],
+            "left_anti",
+        )
+        .join(
+            m2sel.select(
+                "doc_id", "span_idx", "offset", (F.col("pos") + 1).alias("pos")
+            ),
+            ["doc_id", "span_idx", "offset", "pos"],
+            "left_anti",
+        )
+    )
+    return m2sel.unionByName(m1).select(
+        "doc_id", "span_idx", "offset", "mention", F.col("pos").alias("tok_start")
+    )
+
+
+def extract_mentions_sql_fold(docs: DataFrame, gazetteer: DataFrame) -> DataFrame:
+    """The fold formulation of the greedy scan — the LITERAL reference
+    automaton (detect_mentions_py) as a codegen'd ``F.aggregate`` cursor fold
+    over sort_array(collect_list(candidates)) per span.
+
+    Kept as an executable cross-check: three independent formulations (python
+    trie scan, this fold, the island-parity window replay that is now the
+    default) are pinned equal by tests — agreement of the closed form with
+    the direct automaton is the strongest evidence the parity argument holds.
+    Not the default because the per-span candidate arrays were the measured
+    allocation bottleneck of the extract slice (see extract_mentions_sql).
     """
     surfaces = gazetteer.select("surface_form").distinct()
     g1 = surfaces.filter(~F.col("surface_form").contains(" ")).withColumnRenamed(
@@ -237,8 +348,8 @@ def extract_mentions(
     """docs × gazetteer → mentions(doc_id, span_idx, offset, mention,
     tok_start).
 
-    Default path is the pure-Catalyst broadcast-join + greedy fold
-    (extract_mentions_sql) — no Python worker in the plan. ``use_udf=True``
+    Default path is the pure-Catalyst broadcast-join + island-parity window
+    replay (extract_mentions_sql) — no Python worker in the plan. ``use_udf=True``
     selects the Iterator-pandas-UDF trie scan: the gazetteer is collected to
     the driver (dictionary table ≪ corpus, enforced by GAZETTEER_MAX_SURFACES)
     and ``sc.broadcast`` to executors. Both paths are bit-identical on exact
