@@ -612,19 +612,19 @@ def kg_mentions_by_entity(spark, sf_dir):
 def kg_mentions_greedy_sql(spark, sf_dir):
     """V1 mention detection with a REAL oracle (round 4): the pure-Catalyst
     greedy longest-match scan (extract_mentions_sql — broadcast uni/bigram
-    joins + island-parity window replay) over the FULL gazetteer (unigrams +
-    top-10 bigram phrases + plural variants), on flat docs treated as one
-    text span each. DuckDB replays the same automaton with the same
-    island-parity windows — since the window formulation became the Spark
-    default too, engine and oracle run the SAME closed form on two engines,
-    while the fold formulation (extract_mentions_sql_fold, the literal
-    cursor automaton) stays pinned equal in pytest as the independent
-    cross-check: a bigram candidate is selected iff its row_number within a
-    run of consecutive bigram-candidate positions is odd, and a unigram
-    fires iff no bigram candidate sits at its position and the previous
-    position's bigram wasn't selected. Aggregated per mention (count + sum
-    of positions) so the compare stays compact while remaining fully
-    sensitive to WHICH positions greedy selection picked."""
+    joins + cursor fold) over the FULL gazetteer (unigrams + top-10 bigram
+    phrases + plural variants), on flat docs treated as one text span each.
+    DuckDB replays the same greedy automaton in closed form via
+    island-parity windows: a bigram candidate is selected iff its
+    row_number within a run of consecutive bigram-candidate positions is
+    odd, and a unigram fires iff no bigram candidate sits at its position
+    and the previous position's bigram wasn't selected. The same window
+    formulation also exists Spark-side (extract_mentions_sql_windows,
+    pinned bit-equal to the fold in pytest plus an adversarial island
+    fixture), so the parity closed form is cross-checked on BOTH engines
+    against the literal automaton. Aggregated per mention (count + sum of
+    positions) so the compare stays compact while remaining fully sensitive
+    to WHICH positions greedy selection picked."""
     from kbgen_spark import fixtures as FX
     from kbgen_spark.operators.extract import extract_mentions_sql
 

@@ -5,13 +5,14 @@ north_star mandates vectorized (never per-row) Python where Python is needed
 at all (BASELINE.json:6,15).  Two paths, bit-identical on exact matching:
 
 - **default (round 4): pure Catalyst** — broadcast-join token uni/bigrams
-  against the gazetteer, then replay the greedy scan in closed form with
-  island-parity window functions (extract_mentions_sql; the cursor-fold
-  formulation survives as extract_mentions_sql_fold, three-way equality
-  pinned). Exact dictionary matching needs no Python at all; this removed
-  the last Python UDF from the pipeline's hot path (the 0.71–0.78 pinned
-  extract-slice scaling ceiling of rounds 2–3), and the window replay then
-  removed the per-span candidate arrays (the next measured ceiling).
+  against the gazetteer, then a greedy-cursor ``F.aggregate`` fold per span
+  (extract_mentions_sql). Exact dictionary matching needs no Python at all;
+  this removed the last Python UDF from the pipeline's hot path (the
+  0.71–0.78 pinned extract-slice scaling ceiling of rounds 2–3). An
+  island-parity WINDOW formulation of the same automaton
+  (extract_mentions_sql_windows, `SPARK_GRAFT_EXTRACT=windows`) is pinned
+  bit-equal and measured faster on the isolated slice — see its docstring
+  for the promotion criteria.
 - **fuzzy seam: Iterator[pd.Series] pandas UDF** — the gazetteer trie (a
   dict keyed by first token) is built once per Python worker per
   batch-iterator, amortized across all Arrow batches. Kept behind
@@ -153,52 +154,41 @@ def _token_stream(docs: DataFrame) -> DataFrame:
     )
 
 
-def extract_mentions_sql(docs: DataFrame, gazetteer: DataFrame) -> DataFrame:
-    """Pure-Catalyst exact mention detection — bit-identical semantics to the
-    pandas-UDF scan AND to the fold formulation (both pinned by tests), zero
-    Python in the plan and NO per-span array materialization.
+def extract_mentions_sql_windows(docs: DataFrame, gazetteer: DataFrame) -> DataFrame:
+    """Island-parity WINDOW formulation of the greedy scan — bit-identical to
+    the fold default and the pandas-UDF scan (three-way pin in tests), zero
+    Python in the plan and NO per-span array materialization. Selectable via
+    ``SPARK_GRAFT_EXTRACT=windows`` (see extract_mentions).
 
-    Exact gazetteer matching doesn't need a trie: with MAX_PHRASE_TOKENS=2,
-    every possible match is a token unigram or an adjacent bigram, so
+    Replays the greedy longest-match automaton in CLOSED FORM with window
+    functions over the bigram candidates (the same island-parity formulation
+    the DuckDB oracle kg_mentions_greedy_sql uses):
 
-    1. explode (pos, tok, next_tok) per text span — narrow, JVM;
-    2. broadcast-join tokens against 1-token surfaces and (tok ∥ ' ' ∥ next)
-       against 2-token surfaces → the CANDIDATE set (matched positions only —
-       ≪ corpus, the only thing that ever shuffles);
-    3. replay the greedy longest-match automaton in CLOSED FORM with window
-       functions over the bigram candidates (the same island-parity
-       formulation the DuckDB oracle uses, so oracle and engine are now the
-       same algorithm on two engines):
-       - only a FIRED bigram consumes a position beyond itself (a unigram
-         advances the cursor by exactly one), so a bigram candidate at pos p
-         is blocked iff the bigram at p-1 fired; within a maximal run of
-         consecutive bigram-candidate positions ("island") selection is
-         therefore odd-parity, and an island's first position always fires
-         (p-1 has no bigram candidate, and nothing else consumes ahead);
-       - a unigram fires iff its position has NO bigram candidate (a fired
-         one wins by longest-match; a blocked one means the position is
-         consumed) and the previous position's bigram wasn't selected.
-       Islands = pos − row_number() over (span, pos); selection = odd
-       row_number within the island; unigrams = two anti-joins.
+    - only a FIRED bigram consumes a position beyond itself (a unigram
+      advances the cursor by exactly one), so a bigram candidate at pos p is
+      blocked iff the bigram at p-1 fired; within a maximal run of
+      consecutive bigram-candidate positions ("island") selection is
+      therefore odd-parity, and an island's first position always fires
+      (p-1 has no bigram candidate, and nothing else consumes ahead);
+    - a unigram fires iff its position has NO bigram candidate (a fired one
+      wins by longest-match; a blocked one means the position is consumed)
+      and the previous position's bigram wasn't selected.
+    Islands = pos − row_number() over (span, pos); selection = odd
+    row_number within the island; unigrams = two equi-keyed anti-joins
+    (hash/SMJ, never a nested loop).
 
-    The previous formulation — sort_array(collect_list(candidates)) + an
-    ``F.aggregate`` cursor fold, the literal reference automaton — is kept as
-    ``extract_mentions_sql_fold`` (three-way equality pinned by tests). The
-    window replay replaced it on measurement: the per-span candidate arrays
-    were the extract slice's dominant allocation cost on the 2-vs-8-core
-    campaign (same-JVM alternating A/B at ×64: 12.95s → 7.85s @8 pinned,
-    36.67s → 23.64s @2), and window frames stream instead of buffering a
-    span's candidates in an aggregate state.
-
-    Scale: the gazetteer never touches the driver (no collect, no 5M cap —
-    two broadcast hash joins), the corpus-sized token stream stays in its
-    scan partitions, and only candidate rows shuffle: once for the island
-    windows (bigrams), once per anti-join side (equi-keyed LeftAnti —
-    hash/SMJ, never a nested loop; exchange reuse applies, both anti-joins
-    share the unigram side's partitioning). Window keys are per-span —
-    fine-grained, skew-free. The UDF path (extract_mentions(use_udf=True))
-    remains as the seam for FUZZY matching, where per-candidate Python
-    scoring is genuinely needed.
+    Measured profile (2026-08-17, ×64 sf0.1 corpus): the ISOLATED extract
+    slice is decisively faster than the fold at both pinned core counts
+    (same-JVM alternating A/B: 12.95→7.85 s @8, 36.67→23.64 s @2; per-stage
+    bench: 16.7→13.2 s @8, 50.3→42.75 s @2 — the per-span candidate arrays
+    are the fold's allocation tax), but the FUSED fresh-JVM pipeline at the
+    campaign config (128 shuffle partitions) measured a wash same-JVM
+    (min 45.6 vs 46.9 s @8) and could not be measured clean fresh-JVM
+    (continuous co-tenant steal all afternoon). The fold therefore stays
+    the default — its clean-morning campaign table (BENCH/BASELINE.md,
+    median 0.849) describes exactly the shipped path — and this formulation
+    is the candidate to promote once a clean fresh-JVM campaign shows the
+    slice win surviving fusion.
     """
     from pyspark.sql import Window
 
@@ -243,17 +233,32 @@ def extract_mentions_sql(docs: DataFrame, gazetteer: DataFrame) -> DataFrame:
     )
 
 
-def extract_mentions_sql_fold(docs: DataFrame, gazetteer: DataFrame) -> DataFrame:
-    """The fold formulation of the greedy scan — the LITERAL reference
-    automaton (detect_mentions_py) as a codegen'd ``F.aggregate`` cursor fold
-    over sort_array(collect_list(candidates)) per span.
+def extract_mentions_sql(docs: DataFrame, gazetteer: DataFrame) -> DataFrame:
+    """Pure-Catalyst exact mention detection (DEFAULT) — bit-identical
+    semantics to the pandas-UDF scan and the window formulation (three-way
+    pin in tests), zero Python in the plan.
 
-    Kept as an executable cross-check: three independent formulations (python
-    trie scan, this fold, the island-parity window replay that is now the
-    default) are pinned equal by tests — agreement of the closed form with
-    the direct automaton is the strongest evidence the parity argument holds.
-    Not the default because the per-span candidate arrays were the measured
-    allocation bottleneck of the extract slice (see extract_mentions_sql).
+    Exact gazetteer matching doesn't need a trie: with MAX_PHRASE_TOKENS=2,
+    every possible match is a token unigram or an adjacent bigram, so
+
+    1. explode (pos, tok, next_tok) per text span — narrow, JVM;
+    2. broadcast-join tokens against 1-token surfaces and (tok ∥ ' ' ∥ next)
+       against 2-token surfaces → the CANDIDATE set (matched positions only —
+       ≪ corpus, the only thing that ever shuffles);
+    3. regroup candidates per span (sorted (pos, len desc)) and replay the
+       greedy longest-match scan as an ``F.aggregate`` cursor fold — the
+       LITERAL reference automaton (detect_mentions_py), run inside codegen.
+
+    Scale: the gazetteer never touches the driver (no collect, no 5M cap —
+    two broadcast hash joins), the corpus-sized token stream stays in its
+    scan partitions, and the single shuffle carries only candidate rows.
+    The island-parity window replay (extract_mentions_sql_windows) is the
+    measured-faster formulation for the isolated slice and is selectable via
+    ``SPARK_GRAFT_EXTRACT=windows``; the fold remains default because the
+    recorded fresh-JVM scaling campaign (BENCH/BASELINE.md) ran this exact
+    plan and the fused-pipeline difference measured a wash. The UDF path
+    (extract_mentions(use_udf=True)) remains as the seam for FUZZY matching,
+    where per-candidate Python scoring is genuinely needed.
     """
     surfaces = gazetteer.select("surface_form").distinct()
     g1 = surfaces.filter(~F.col("surface_form").contains(" ")).withColumnRenamed(
@@ -348,13 +353,20 @@ def extract_mentions(
     """docs × gazetteer → mentions(doc_id, span_idx, offset, mention,
     tok_start).
 
-    Default path is the pure-Catalyst broadcast-join + island-parity window
-    replay (extract_mentions_sql) — no Python worker in the plan. ``use_udf=True``
-    selects the Iterator-pandas-UDF trie scan: the gazetteer is collected to
-    the driver (dictionary table ≪ corpus, enforced by GAZETTEER_MAX_SURFACES)
-    and ``sc.broadcast`` to executors. Both paths are bit-identical on exact
-    matching (pinned by tests); the UDF seam exists for fuzzy extensions."""
+    Default path is the pure-Catalyst broadcast-join + greedy cursor fold
+    (extract_mentions_sql) — no Python worker in the plan;
+    ``SPARK_GRAFT_EXTRACT=windows`` selects the island-parity window
+    formulation (extract_mentions_sql_windows) for fresh-JVM A/B campaigns.
+    ``use_udf=True`` selects the Iterator-pandas-UDF trie scan: the
+    gazetteer is collected to the driver (dictionary table ≪ corpus,
+    enforced by GAZETTEER_MAX_SURFACES) and ``sc.broadcast`` to executors.
+    All paths are bit-identical on exact matching (pinned by tests); the
+    UDF seam exists for fuzzy extensions."""
     if not use_udf:
+        import os
+
+        if os.environ.get("SPARK_GRAFT_EXTRACT") == "windows":
+            return extract_mentions_sql_windows(docs, gazetteer)
         return extract_mentions_sql(docs, gazetteer)
     surface_forms = [r[0] for r in gazetteer.select("surface_form").distinct().collect()]
     if len(surface_forms) > GAZETTEER_MAX_SURFACES:

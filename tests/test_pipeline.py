@@ -62,18 +62,19 @@ def test_mention_sql_path_equals_udf_path(spark, docs, gazetteer):
 
 
 def test_mention_window_replay_equals_fold(spark, docs, gazetteer):
-    """Three-way formulation pin: the island-parity WINDOW replay (default
-    extract_mentions_sql) must be bit-identical to the cursor-FOLD form (the
-    literal reference automaton). Together with the udf-vs-sql pin above,
-    all three independent formulations agree — the strongest evidence that
-    the closed-form parity argument is exact, not fixture luck."""
+    """Three-way formulation pin: the island-parity WINDOW replay
+    (extract_mentions_sql_windows, SPARK_GRAFT_EXTRACT=windows) must be
+    bit-identical to the default cursor-FOLD form (the literal reference
+    automaton). Together with the udf-vs-sql pin above, all three
+    independent formulations agree — the strongest evidence that the
+    closed-form parity argument is exact, not fixture luck."""
     from kbgen_spark.operators.extract import (
         extract_mentions_sql,
-        extract_mentions_sql_fold,
+        extract_mentions_sql_windows,
     )
 
-    win = extract_mentions_sql(docs, gazetteer)
-    fold = extract_mentions_sql_fold(docs, gazetteer)
+    win = extract_mentions_sql_windows(docs, gazetteer)
+    fold = extract_mentions_sql(docs, gazetteer)
     assert win.exceptAll(fold).count() == 0
     assert fold.exceptAll(win).count() == 0
 
@@ -86,7 +87,9 @@ def test_mention_window_replay_on_adversarial_islands(spark):
     200 seeded random streams are batch-compared to detect_mentions_py."""
     import random
 
-    from kbgen_spark.operators.extract import extract_mentions_sql
+    from kbgen_spark.operators.extract import (
+        extract_mentions_sql_windows as extract_mentions_sql,
+    )
 
     rng = random.Random(42)
     surfaces = {"a b", "b a", "a a", "b b", "a", "b"}
