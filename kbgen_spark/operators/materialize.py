@@ -38,7 +38,10 @@ def apply_canon_map(links: DataFrame, canon_map: DataFrame) -> DataFrame:
 
 
 def assemble_triples(
-    canon_links: DataFrame, patterns: DataFrame, pair_partitions: int | None = None
+    canon_links: DataFrame,
+    patterns: DataFrame,
+    pair_partitions: int | None = None,
+    max_ents_per_doc: int | None = None,
 ) -> DataFrame:
     """canon links × patterns → distinct (subj, pred, obj).
 
@@ -51,7 +54,35 @@ def assemble_triples(
     expansion's parallelism (user repartitions are exempt from AQE
     coalescing); each branch also pre-aggregates with its own ``distinct``
     (map-side partial agg inside the join tasks) so the final union-distinct
-    shuffles only near-output-sized data."""
+    shuffles only near-output-sized data.
+
+    ``max_ents_per_doc`` (opt-in; PLANS.md "known plan debts"): the doc-scope
+    pair join is quadratic in distinct entities per doc BY SEMANTICS — fine
+    while gazetteers bound it (the fixture corpus peaks at ~30), fatal if a
+    pathological doc matches 10⁵ surface forms (10¹⁰ pairs from one doc, one
+    straggler task). When set, one cheap aggregation over the already-distinct
+    entity list (same doc_id shuffle key the join needs anyway) fails fast
+    with the offending doc ids instead of letting the expansion run; a 100 TB
+    deployment enables it on corpus-validation runs. None (default) adds no
+    job."""
+    if max_ents_per_doc is not None:
+        hot = (
+            canon_links.select("doc_id", "entity_c", "type_c")
+            .distinct()
+            .groupBy("doc_id")
+            .count()
+            .filter(F.col("count") > max_ents_per_doc)
+            .orderBy(F.desc("count"))
+            .limit(5)
+            .collect()
+        )
+        if hot:
+            worst = [(r["doc_id"], r["count"]) for r in hot]
+            raise ValueError(
+                "assemble_triples: doc-scope pair join is quadratic in "
+                f"entities/doc; docs exceed max_ents_per_doc={max_ents_per_doc}: "
+                f"{worst} (top 5 shown)"
+            )
     n_part = pair_partitions or int(
         canon_links.sparkSession.conf.get("spark.sql.shuffle.partitions")
     )

@@ -176,3 +176,30 @@ def test_salted_join_equals_plain(spark):
     salted = salted_join(big, small, "k", buckets=4).select("k", "v", "name")
     assert plain.exceptAll(salted).count() == 0
     assert salted.exceptAll(plain).count() == 0
+
+
+def test_assemble_triples_ents_per_doc_guard(spark):
+    """PLANS.md plan-debt guard: the doc-scope pair join is quadratic in
+    distinct entities per doc; max_ents_per_doc fails fast (naming the
+    offending docs) instead of launching the expansion, and the default
+    (None) leaves the output untouched."""
+    from kbgen_spark.operators.materialize import assemble_triples
+
+    links = spark.createDataFrame(
+        [("d1", 0, 0, "e1", "thing"), ("d1", 0, 2, "e2", "thing"),
+         ("d1", 0, 4, "e3", "action"), ("d2", 0, 0, "e1", "thing")],
+        "doc_id string, span_idx int, tok_start int, entity_c string, type_c string",
+    )
+    patterns = spark.createDataFrame(
+        [("P_co_occurs", "thing", "action", "doc", 0, False)],
+        "pred string, subj_type string, obj_type string, scope string, "
+        "max_gap int, ordered boolean",
+    )
+    out = {(r["subj"], r["pred"], r["obj"])
+           for r in assemble_triples(links, patterns, 4).collect()}
+    assert out == {("e1", "P_co_occurs", "e3"), ("e2", "P_co_occurs", "e3")}
+    # cap above the max (3 distinct ents in d1) passes and is identical
+    ok = assemble_triples(links, patterns, 4, max_ents_per_doc=3)
+    assert {(r["subj"], r["pred"], r["obj"]) for r in ok.collect()} == out
+    with pytest.raises(ValueError, match="d1"):
+        assemble_triples(links, patterns, 4, max_ents_per_doc=2)
