@@ -1136,6 +1136,40 @@ def openvocab_lsh_recall(spark, sf_dir):
 # --------------------------------------------------------------------------
 
 
+def pii_scrub_documents(spark, sf_dir):
+    """Training-data PII hygiene over `documents` (SURVEY §2.14 Q10): the
+    synthetic corpus carries no PII, so deterministic emails / URLs / phone
+    numbers are planted from doc_id IDENTICALLY on both engines, then
+    ``scrub_pii`` (pure-JVM regexp_count/regexp_replace, one projection,
+    zero shuffles) counts and redacts them. Leftmost-non-overlapping regex
+    semantics agree between Java regex (Spark) and RE2 (DuckDB) for these
+    patterns, which is what makes the scrub exactly oracle-mirrorable; the
+    scrubbed text is md5'd so the compare stays compact while remaining
+    positionally exact."""
+    from kbgen_spark.operators.textstats import scrub_pii
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or visit https://ex.org/d/"),
+            F.col("doc_id").cast("string"),
+            F.lit(" or call 555-010-"),
+            F.lpad(F.pmod(F.col("doc_id"), F.lit(10000)).cast("string"), 4, "0"),
+        ).alias("text"),
+    )
+    out = scrub_pii(docs)
+    return out.select(
+        "doc_id",
+        "n_email",
+        "n_url",
+        "n_phone",
+        F.md5("scrubbed").alias("scrub_md5"),
+    ).orderBy("doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT: the correctness driver checks only the FIRST 50
     # entries of this dict.  Entries that still need a green driver row
@@ -1229,6 +1263,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emit_m2_sample": emit_m2_sample,
         "emit_emi_sample": emit_emi_sample,
         "emit_m3_rules_sample": emit_m3_rules_sample,
+        # round-4 session addition — oracle-backed but parked past the
+        # window (evidence: tools/compare_oracle.py + pytest); rotates in
+        # next round.
+        "pii_scrub_documents": pii_scrub_documents,
     }
 
 
@@ -1319,6 +1357,9 @@ def _ann_cte(qmax: int) -> str:
 
 
 def oracle_sql() -> dict[str, str]:
+    from kbgen_spark.operators.textstats import PII_PATTERNS
+
+    _PII = dict(PII_PATTERNS)
     langs = {
         "en": ["the", "and", "of", "to", "a"],
         "de": ["der", "die", "und", "das", "ist"],
@@ -2070,5 +2111,31 @@ def oracle_sql() -> dict[str, str]:
             select vec_id, label,
                 round(sqrt(list_sum(list_transform(embedding, x -> cast(x as double) * cast(x as double)))), 4) as l2_norm
             from embeddings
+        """,
+        # Same plant + scrub as pii_scrub_documents; patterns interpolated
+        # from the single source of truth (textstats.PII_PATTERNS) so the
+        # engines cannot drift. DuckDB regexp_replace needs the 'g' flag to
+        # match Spark's replace-all semantics.
+        "pii_scrub_documents": f"""
+            with aug as (
+                select doc_id,
+                       text || ' contact user' || cast(doc_id as varchar)
+                            || '@example.com or visit https://ex.org/d/'
+                            || cast(doc_id as varchar)
+                            || ' or call 555-010-'
+                            || lpad(cast(doc_id % 10000 as varchar), 4, '0')
+                       as text
+                from documents
+            )
+            select doc_id,
+                cast(len(regexp_extract_all(text, '{_PII["email"]}')) as bigint) as n_email,
+                cast(len(regexp_extract_all(text, '{_PII["url"]}')) as bigint) as n_url,
+                cast(len(regexp_extract_all(text, '{_PII["phone"]}')) as bigint) as n_phone,
+                md5(regexp_replace(regexp_replace(regexp_replace(text,
+                    '{_PII["email"]}', '[EMAIL]', 'g'),
+                    '{_PII["url"]}', '[URL]', 'g'),
+                    '{_PII["phone"]}', '[PHONE]', 'g')) as scrub_md5
+            from aug
+            order by doc_id
         """,
     }

@@ -149,3 +149,39 @@ def doc_fingerprints(docs: DataFrame, text_col: str = "text") -> DataFrame:
         F.md5(F.col(text_col)).alias("md5_fp"),
         fp(F.col(text_col)).alias("rolling_fp"),
     )
+
+
+# --- PII scrubbing (training-data hygiene) -----------------------------------
+#
+# Leftmost-non-overlapping regex semantics are identical in Java regex
+# (Spark) and RE2 (DuckDB) for these patterns (no backrefs/lookaround),
+# which is what makes the operator exactly oracle-mirrorable.
+PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("url", r"https?://[^\s]+"),
+    ("phone", r"\+?\d{3}[- .]\d{3}[- .]\d{4}"),
+)
+
+
+def scrub_pii(
+    docs: DataFrame,
+    text_col: str = "text",
+    patterns: tuple[tuple[str, str], ...] = PII_PATTERNS,
+) -> DataFrame:
+    """Training-data PII hygiene: per-category match counts + the scrubbed
+    text with each match replaced by its ``[CATEGORY]`` token.
+
+    One narrow projection, zero shuffles, all expressions inside whole-stage
+    codegen (``regexp_count`` / ``regexp_replace`` are JVM built-ins) — at
+    100 TB this runs at parquet-scan speed with the text column pruned to
+    exactly what the scan needs. Counts are computed on the ORIGINAL text;
+    replacement applies patterns in declaration order (email before url
+    before phone), so category tokens never feed later patterns."""
+    counts = [
+        F.regexp_count(F.col(text_col), F.lit(pat)).cast("long").alias(f"n_{name}")
+        for name, pat in patterns
+    ]
+    scrubbed = F.col(text_col)
+    for name, pat in patterns:
+        scrubbed = F.regexp_replace(scrubbed, pat, f"[{name.upper()}]")
+    return docs.select("doc_id", *counts, scrubbed.alias("scrubbed"))

@@ -203,3 +203,29 @@ def test_assemble_triples_ents_per_doc_guard(spark):
     assert {(r["subj"], r["pred"], r["obj"]) for r in ok.collect()} == out
     with pytest.raises(ValueError, match="d1"):
         assemble_triples(links, patterns, 4, max_ents_per_doc=2)
+
+
+def test_scrub_pii_matches_python_re(spark):
+    """scrub_pii counts and redaction vs Python re on planted PII — pins
+    that Java-regex leftmost-non-overlapping semantics match re's."""
+    import re
+
+    rows = [
+        (1, "mail a.b+c@ex-corp.io and http://x.io/p?q=1 call 555-010-1234 end"),
+        (2, "no pii here at all"),
+        (3, "two mails x@y.co z@w.org one url https://a.b/c"),
+        (4, "+1 555 010 9999 is +countrycode phone; 555.010.9999 dotted"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {r["doc_id"]: r for r in T.scrub_pii(df).collect()}
+    from kbgen_spark.operators.textstats import PII_PATTERNS
+
+    for doc_id, text in rows:
+        scrubbed = text
+        for name, pat in PII_PATTERNS:
+            assert got[doc_id][f"n_{name}"] == len(re.findall(pat, text)), (
+                doc_id,
+                name,
+            )
+            scrubbed = re.sub(pat, f"[{name.upper()}]", scrubbed)
+        assert got[doc_id]["scrubbed"] == scrubbed, doc_id
