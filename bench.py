@@ -127,16 +127,21 @@ def run_bench(
         ):
             if name in warm:
                 qs[name](spark, sf_dir).count()
+                release_fanouts()
             # min-of-N for every query (same shared-VM noise filter as
-            # pipeline_e2e). Nothing here persists, so each rep recomputes;
-            # `total` sums the recorded minima, so repeats cost local
-            # wall-clock only, not the recorded metric.
+            # pipeline_e2e). Queries that checkpoint internally
+            # (minhash_doc_pairs' shingle fan-out) must release between reps
+            # — a cache-hit on the previous rep's persisted stage would make
+            # min-of-N measure a cache read, not the query. `total` sums the
+            # recorded minima, so repeats cost local wall-clock only, not
+            # the recorded metric.
             best_q = None
             for _ in range(repeat):
                 t0 = time.time()
                 qs[name](spark, sf_dir).count()
                 dt = round(time.time() - t0, 3)
                 best_q = dt if best_q is None else min(best_q, dt)
+                release_fanouts()
             timings[name] = best_q
 
         # emitter throughput: learn from pipeline triples, emit 200k facts

@@ -140,8 +140,18 @@ def replicate_documents(docs: DataFrame, factor: int) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _TYPE_CYCLE = ["thing", "action", "system"]
-N_PHRASES = 10
+# phrase quotas per token count: top-10 bigrams, and — round 5, so mention
+# detection is exercised past 2 tokens (VERDICT r4 'Next round' #1) — top-5
+# trigrams, top-3 4-grams, top-2 5-grams. Global ranks continue after the
+# unigrams in ascending n (unigram ranks and therefore every entity_id the
+# unigram-only oracles see are unchanged by the longer phrases).
+N_NGRAM_PHRASES = {2: 10, 3: 5, 4: 3, 5: 2}
+N_PHRASES = sum(N_NGRAM_PHRASES.values())
 N_PLURAL_VARIANTS = 5
+
+
+def _phrase_rank_offset(n: int) -> int:
+    return sum(q for m, q in N_NGRAM_PHRASES.items() if m < n)
 
 
 def build_gazetteer(flat_docs: DataFrame) -> DataFrame:
@@ -150,12 +160,15 @@ def build_gazetteer(flat_docs: DataFrame) -> DataFrame:
     - every distinct token, ranked by global frequency (ties: token asc);
       entity_id = 'E' || lpad(rank, 5, '0'); prior = 1/rank;
       entity_type = cycle(thing, action, system) by rank.
-    - top-10 adjacent bigrams as two-token phrases (ranks continue);
+    - top-k adjacent n-grams per N_NGRAM_PHRASES as multi-token phrases
+      (ranks continue after the unigrams, shorter n first);
     - pluralized variants of the top-5 unigrams map to the *same* entity_id
       (near-duplicate surface forms → exercises MinHash-LSH + CC canon).
 
-    The unigram/bigram ranking is pure SQL, mirrored verbatim in the DuckDB
-    oracle (__spark_entry__.oracle_sql: 'kg_gazetteer').
+    The ranking is pure SQL, mirrored verbatim in the DuckDB oracles
+    (__spark_entry__.oracle_sql: 'kg_gazetteer', 'kg_mentions_kgram'). All
+    phrase lengths are counted in ONE corpus scan + ONE aggregation (the
+    per-n explode is array-side; the only shuffle is the (n, gram) groupBy).
     """
     toks = flat_docs.select(
         F.col("doc_id"), F.posexplode(tokens("text")).alias("pos", "tok")
@@ -170,34 +183,67 @@ def build_gazetteer(flat_docs: DataFrame) -> DataFrame:
             ),
         )
     )
-    # adjacent bigrams, array-side (no shuffle). Token array is projected
-    # FIRST so the transform lambda indexes a materialized array — inlining
-    # split(text) into the lambda re-splits per element (O(len²) per doc).
-    bigrams = (
-        flat_docs.select(tokens("text").alias("t"))
-        .filter(F.size("t") >= 2)
-        .select(
-            F.explode(
-                F.expr(
-                    "transform(sequence(0, size(t)-2),"
-                    " i -> concat(t[i], ' ', t[i+1]))"
-                )
-            ).alias("bg")
+    # adjacent n-grams for every phrase length, array-side (no shuffle until
+    # the count). Token array is projected FIRST so the transform lambdas
+    # index a materialized array — inlining split(text) into the lambdas
+    # re-splits per element (O(len²) per doc). Positions past size(t)-n
+    # yield null and are filtered (sequence() must not run backwards).
+    t = flat_docs.select(tokens("text").alias("t"))
+
+    def _gram_structs(n: int):
+        return F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size("t") - n, F.lit(0))),
+            lambda i: F.when(
+                i + n <= F.size("t"),
+                F.struct(
+                    F.lit(n).alias("n"),
+                    F.array_join(F.slice("t", i + 1, n), " ").alias("gram"),
+                ),
+            ),
         )
+
+    grams = (
+        t.select(
+            F.explode(
+                F.flatten(
+                    F.array(*[_gram_structs(n) for n in sorted(N_NGRAM_PHRASES)])
+                )
+            ).alias("g")
+        )
+        .filter(F.col("g").isNotNull())
+        .select(F.col("g.n").alias("n"), F.col("g.gram").alias("gram"))
     )
     n_uni = uni.count()
+    offset_expr = F.element_at(
+        F.create_map(
+            *[
+                lit
+                for n in sorted(N_NGRAM_PHRASES)
+                for lit in (F.lit(n), F.lit(_phrase_rank_offset(n)))
+            ]
+        ),
+        F.col("n"),
+    )
+    quota_expr = F.element_at(
+        F.create_map(
+            *[
+                lit
+                for n, q in sorted(N_NGRAM_PHRASES.items())
+                for lit in (F.lit(n), F.lit(q))
+            ]
+        ),
+        F.col("n"),
+    )
+    wn = Window.partitionBy("n").orderBy(F.desc("cnt"), F.asc("gram"))
     bi = (
-        bigrams.groupBy("bg")
+        grams.groupBy("n", "gram")
         .agg(F.count("*").alias("cnt"))
-        .withColumn(
-            "brank",
-            F.row_number().over(Window.orderBy(F.desc("cnt"), F.asc("bg"))),
-        )
-        .filter(F.col("brank") <= N_PHRASES)
+        .withColumn("nrank", F.row_number().over(wn))
+        .filter(F.col("nrank") <= quota_expr)
         .select(
-            F.col("bg").alias("tok"),
+            F.col("gram").alias("tok"),
             F.col("cnt"),
-            (F.col("brank") + F.lit(n_uni)).alias("rank"),
+            (F.col("nrank") + offset_expr + F.lit(n_uni)).alias("rank"),
         )
     )
     base = uni.select("tok", "cnt", "rank").unionByName(bi)

@@ -96,6 +96,7 @@ def dedup_minhash_lsh(
     threshold: float = 0.7,
     text_col: str = "text",
     shingle_hash=None,
+    fanout_scale_hint: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs (a, b, jaccard) with exact word-shingle Jaccard
     verification of LSH candidates.
@@ -105,10 +106,18 @@ def dedup_minhash_lsh(
     checkpoint the corpus would be scanned + shingled twice (signatures, then
     again behind the candidate join). Eager, not lazy: the round-2 A/B showed
     the DAG scheduler submits fan-out consumers before a lazy checkpoint has
-    materialized blocks, recomputing the upstream subtree per consumer."""
+    materialized blocks, recomputing the upstream subtree per consumer.
+
+    ``fanout_scale_hint``: approximate corpus row count, forwarded to
+    materialize_fanout's auto mode — a 100 TB dedup run passes its (metadata-
+    cheap) table count so the shingle checkpoint goes to parquet/DFS; with no
+    hint the auto mode persists to executor-local disk, the measured winner
+    for dictionary-small corpora (round-4 regression note in lineage.py)."""
     from kbgen_spark.plans.lineage import materialize_fanout
 
-    sh = materialize_fanout(doc_shingle_sets(docs, shingle_n, text_col))
+    sh = materialize_fanout(
+        doc_shingle_sets(docs, shingle_n, text_col), scale_hint=fanout_scale_hint
+    )
     sig = minhash_signatures_from_sets(sh, k, shingle_hash)
     cand = lsh_candidate_pairs(sig, "doc_id", k, bands)
     a = sh.select(F.col("doc_id").alias("a"), F.col("sh").alias("sh_a"))

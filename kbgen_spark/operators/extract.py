@@ -2,32 +2,39 @@
 
 The reference has no extraction stage (kbgen consumes RDF directly); the
 north_star mandates vectorized (never per-row) Python where Python is needed
-at all (BASELINE.json:6,15).  Two paths, bit-identical on exact matching:
+at all (BASELINE.json:6,15).  Three formulations, bit-identical on exact
+matching (pinned by tests):
 
-- **default (round 4): pure Catalyst** — broadcast-join token uni/bigrams
-  against the gazetteer, then a greedy-cursor ``F.aggregate`` fold per span
-  (extract_mentions_sql). Exact dictionary matching needs no Python at all;
-  this removed the last Python UDF from the pipeline's hot path (the
-  0.71–0.78 pinned extract-slice scaling ceiling of rounds 2–3). An
-  island-parity WINDOW formulation of the same automaton
-  (extract_mentions_sql_windows, `SPARK_GRAFT_EXTRACT=windows`) is pinned
-  bit-equal and measured faster on the isolated slice — see its docstring
-  for the promotion criteria.
+- **fold (pure Catalyst, default)** — broadcast-join token n-grams against
+  the gazetteer (anchored: multi-token phrases are only assembled where the
+  position's token is the first token of some multi-token surface), then a
+  greedy-cursor ``F.aggregate`` fold per span (extract_mentions_sql). Exact
+  dictionary matching needs no Python at all. Surfaces of ANY token count
+  are matched — k = max tokens per surface is derived from the gazetteer by
+  one dictionary-sized aggregation (round 5; rounds 2–4 silently capped at
+  2 tokens, the round-4 verdict's #1 gap).
+- **windows (pure Catalyst, k ≤ 2 closed form)** — the island-parity WINDOW
+  replay of the same automaton (extract_mentions_sql_windows). Only valid
+  for uni/bigram gazetteers (raises otherwise); measured faster than the
+  fold on large corpora (BENCH/BASELINE.md round-4 A/B), so the auto
+  variant promotes it above EXTRACT_WINDOWS_MIN_DOCS.
 - **fuzzy seam: Iterator[pd.Series] pandas UDF** — the gazetteer trie (a
   dict keyed by first token) is built once per Python worker per
   batch-iterator, amortized across all Arrow batches. Kept behind
   ``use_udf=True`` for matching semantics Catalyst can't express (edit-
   distance tries, context models).
-- semantics (mirrored by tests/golden oracle + the kg_mentions_greedy_sql
-  DuckDB oracle): greedy longest-match scan over whitespace tokens; phrases
-  up to MAX_PHRASE_TOKENS tokens; on a match the scan advances past the
-  matched tokens.
+
+Semantics (mirrored by tests/golden_gen.py and the kg_mentions_* DuckDB
+oracles): greedy longest-match scan over whitespace tokens; phrases up to
+the gazetteer's own max token count; on a match the scan advances past the
+matched tokens.
 
 Output: ``mentions(doc_id, span_idx, offset, tok_start, mention)``.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Iterator
 
 import pandas as pd
@@ -35,14 +42,34 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
-MAX_PHRASE_TOKENS = 2
-
 MENTION_ARRAY_T = "array<struct<mention:string,tok_start:int>>"
+MENTIONS_ACC_T = MENTION_ARRAY_T
+
+# auto-variant promotion thresholds (extract_mentions): the window replay is
+# measured faster than the fold on LARGE corpora (its win is the fold's
+# per-span candidate-array allocation tax, which grows with corpus size —
+# BENCH/BASELINE.md round-4/5 campaigns), while the fold wins warm-up-bound
+# small runs. Callers that know the corpus cardinality pass n_docs
+# (run_pipeline does — same cheap-cardinality-gate pattern as the canon/CC
+# local thresholds); otherwise Catalyst's scan-stats estimate decides, which
+# is accurate for file-scan-rooted plans (the production case: a parquet /
+# Iceberg corpus) and conservatively small for localCheckpoint/replicate
+# plans (falls back to the fold — never wrong, only unpromoted).
+EXTRACT_WINDOWS_MIN_DOCS = 2_000_000
+EXTRACT_WINDOWS_MIN_BYTES = 512 << 20
 
 
-def detect_mentions_py(text: str, surface_forms: set[str], by_first: dict) -> list:
+def detect_mentions_py(
+    text: str, surface_forms: set[str], by_first: dict, max_phrase: int | None = None
+) -> list:
     """Pure-python reference semantics for one span text (shared with the
-    golden oracle in tests/golden_gen.py — keep in sync)."""
+    golden oracle in tests/golden_gen.py — keep in sync).
+
+    ``max_phrase`` (max tokens per candidate phrase) is derived from the
+    surface set when not supplied — callers in hot loops (the pandas UDF)
+    derive it once and pass it in."""
+    if max_phrase is None:
+        max_phrase = max((s.count(" ") + 1 for s in surface_forms), default=1)
     toks = text.split(" ") if text else []
     out = []
     i = 0
@@ -51,7 +78,7 @@ def detect_mentions_py(text: str, surface_forms: set[str], by_first: dict) -> li
         matched = 0
         cands = by_first.get(toks[i])
         if cands:
-            for plen in range(min(MAX_PHRASE_TOKENS, n - i), 0, -1):
+            for plen in range(min(max_phrase, n - i), 0, -1):
                 cand = " ".join(toks[i : i + plen])
                 if cand in surface_forms:
                     out.append((cand, i))
@@ -80,12 +107,13 @@ def make_mention_udf(surface_forms):
         # dicts built once per task, from the executor-local broadcast block.
         forms = surface_forms.value if is_bc else surface_forms
         sf_set = set(forms)
+        max_phrase = max((s.count(" ") + 1 for s in sf_set), default=1)
         by_first = {}
         for s in sf_set:
             by_first.setdefault(s.split(" ")[0], []).append(s)
         for batch in it:
             yield batch.map(
-                lambda t: detect_mentions_py(t, sf_set, by_first)
+                lambda t: detect_mentions_py(t, sf_set, by_first, max_phrase)
             )
 
     return mention_udf
@@ -122,199 +150,159 @@ def explode_text_spans(docs: DataFrame) -> DataFrame:
     )
 
 
-MENTIONS_ACC_T = "array<struct<mention:string,tok_start:int>>"
+def max_surface_tokens(gazetteer: DataFrame) -> int:
+    """k = max token count over the gazetteer's surface forms — ONE tiny
+    aggregation on the dictionary-sized table (the same cheap-cardinality
+    gate pattern as the canon/CC local thresholds). Every candidate-join
+    plan is bounded by this k, so it is derived, never assumed (rounds 2–4
+    hardcoded 2 and silently dropped longer surfaces)."""
+    row = (
+        gazetteer.select(F.size(F.split("surface_form", " ")).alias("n"))
+        .agg(F.max("n"))
+        .first()
+    )
+    return int(row[0]) if row and row[0] is not None else 1
 
 
 def _split_gazetteer(gazetteer: DataFrame):
+    """Gazetteer split for candidate generation (shared by ALL formulations):
+
+    - g1     (_sf1)        : single-token surfaces;
+    - gm     (_sfm, _len)  : multi-token surfaces with their token count;
+    - gfirst (_f, _fmax)   : first token of each multi-token surface with the
+      max token count among surfaces starting with it — the ANCHOR filter
+      (phrases are only assembled at positions whose token starts some
+      multi-token surface, with per-anchor length bound _fmax)."""
     surfaces = gazetteer.select("surface_form").distinct()
     g1 = surfaces.filter(~F.col("surface_form").contains(" ")).withColumnRenamed(
         "surface_form", "_sf1"
     )
-    g2 = surfaces.filter(
-        F.size(F.split("surface_form", " ")) == 2
-    ).withColumnRenamed("surface_form", "_sf2")
-    return g1, g2
+    gm = surfaces.filter(F.col("surface_form").contains(" ")).select(
+        F.col("surface_form").alias("_sfm"),
+        F.size(F.split("surface_form", " ")).alias("_len"),
+    )
+    gfirst = gm.groupBy(F.split("_sfm", " ").getItem(0).alias("_f")).agg(
+        F.max("_len").alias("_fmax")
+    )
+    return g1, gm, gfirst
 
 
-def _token_stream(docs: DataFrame) -> DataFrame:
-    """(doc_id, span_idx, offset, pos, tc{_t, _nxt}) — one row per token with
-    its successor, the probe input for both candidate joins."""
+def _token_stream(docs: DataFrame, k: int) -> DataFrame:
+    """(doc_id, span_idx, offset, pos, tok[, nxt]) — one row per token; for
+    k ≥ 2 each row carries the next k−1 tokens (``nxt``), the only per-row
+    state phrase construction needs (no per-row copy of the whole span
+    array). For k = 1 the stream is lean (pos, tok) only."""
     ts = explode_text_spans(docs).withColumn("_t", F.split("span_text", " "))
-    return ts.withColumn(
-        "_nxt",
-        F.concat(
-            F.slice(F.col("_t"), 2, F.greatest(F.size("_t") - 1, F.lit(0))),
-            F.array(F.lit(None).cast("string")),
-        ),
+    if k <= 1:
+        return ts.select(
+            "doc_id", "span_idx", "offset", F.posexplode("_t").alias("pos", "tok")
+        )
+    return ts.select(
+        "doc_id",
+        "span_idx",
+        "offset",
+        F.explode(
+            F.transform(
+                "_t",
+                lambda x, i: F.struct(
+                    i.cast("int").alias("pos"),
+                    x.alias("tok"),
+                    F.slice(F.col("_t"), i + 2, k - 1).alias("nxt"),
+                ),
+            )
+        ).alias("tc"),
     ).select(
         "doc_id",
         "span_idx",
         "offset",
-        F.posexplode(F.arrays_zip("_t", "_nxt")).alias("pos", "tc"),
+        F.col("tc.pos").alias("pos"),
+        F.col("tc.tok").alias("tok"),
+        F.col("tc.nxt").alias("nxt"),
     )
 
 
-def extract_mentions_sql_windows(docs: DataFrame, gazetteer: DataFrame) -> DataFrame:
-    """Island-parity WINDOW formulation of the greedy scan — bit-identical to
-    the fold default and the pandas-UDF scan (three-way pin in tests), zero
-    Python in the plan and NO per-span array materialization. Selectable via
-    ``SPARK_GRAFT_EXTRACT=windows`` (see extract_mentions).
+def candidate_mentions(
+    docs: DataFrame, gazetteer: DataFrame, k: int | None = None
+) -> DataFrame:
+    """Every position where a gazetteer surface matches:
+    ``(doc_id, span_idx, offset, pos, nl, mention)`` with nl = −token_count
+    (``sort_array`` then puts longer candidates first at equal pos). The ONE
+    candidate-generation implementation behind the fold AND the window
+    formulations — no drift between them by construction.
 
-    Replays the greedy longest-match automaton in CLOSED FORM with window
-    functions over the bigram candidates (the same island-parity formulation
-    the DuckDB oracle kg_mentions_greedy_sql uses):
-
-    - only a FIRED bigram consumes a position beyond itself (a unigram
-      advances the cursor by exactly one), so a bigram candidate at pos p is
-      blocked iff the bigram at p-1 fired; within a maximal run of
-      consecutive bigram-candidate positions ("island") selection is
-      therefore odd-parity, and an island's first position always fires
-      (p-1 has no bigram candidate, and nothing else consumes ahead);
-    - a unigram fires iff its position has NO bigram candidate (a fired one
-      wins by longest-match; a blocked one means the position is consumed)
-      and the previous position's bigram wasn't selected.
-    Islands = pos − row_number() over (span, pos); selection = odd
-    row_number within the island; unigrams = two equi-keyed anti-joins
-    (hash/SMJ, never a nested loop).
-
-    Measured profile (2026-08-17, ×64 sf0.1 corpus): the ISOLATED extract
-    slice is decisively faster than the fold at both pinned core counts
-    (same-JVM alternating A/B: 12.95→7.85 s @8, 36.67→23.64 s @2; per-stage
-    bench: 16.7→13.2 s @8, 50.3→42.75 s @2 — the per-span candidate arrays
-    are the fold's allocation tax), but the FUSED fresh-JVM pipeline at the
-    campaign config (128 shuffle partitions) measured a wash same-JVM
-    (min 45.6 vs 46.9 s @8) and could not be measured clean fresh-JVM
-    (continuous co-tenant steal all afternoon). The fold therefore stays
-    the default — its clean-morning campaign table (BENCH/BASELINE.md,
-    median 0.849) describes exactly the shipped path — and this formulation
-    is the candidate to promote once a clean fresh-JVM campaign shows the
-    slice win surviving fusion.
-    """
-    from pyspark.sql import Window
-
-    g1, g2 = _split_gazetteer(gazetteer)
-    tok = _token_stream(docs)
-    m2 = (
-        tok.filter(F.col("tc._nxt").isNotNull())
-        .withColumn("_bg", F.concat(F.col("tc._t"), F.lit(" "), F.col("tc._nxt")))
-        .join(F.broadcast(g2), F.col("_bg") == F.col("_sf2"))
-        .select(
-            "doc_id", "span_idx", "offset", "pos", F.col("_bg").alias("mention")
-        )
-    )
-    w_span = Window.partitionBy("doc_id", "span_idx", "offset").orderBy("pos")
-    isl = m2.withColumn("grp", F.col("pos") - F.row_number().over(w_span))
-    w_grp = Window.partitionBy("doc_id", "span_idx", "offset", "grp").orderBy("pos")
-    m2sel = (
-        isl.withColumn("rn", F.row_number().over(w_grp))
-        .filter(F.col("rn") % 2 == 1)
-        .select("doc_id", "span_idx", "offset", "pos", "mention")
-    )
-    m1 = (
-        tok.join(F.broadcast(g1), tok["tc._t"] == F.col("_sf1"))
-        .select(
-            "doc_id", "span_idx", "offset", "pos", F.col("tc._t").alias("mention")
-        )
-        .join(
-            m2.select("doc_id", "span_idx", "offset", "pos"),
-            ["doc_id", "span_idx", "offset", "pos"],
-            "left_anti",
-        )
-        .join(
-            m2sel.select(
-                "doc_id", "span_idx", "offset", (F.col("pos") + 1).alias("pos")
-            ),
-            ["doc_id", "span_idx", "offset", "pos"],
-            "left_anti",
-        )
-    )
-    return m2sel.unionByName(m1).select(
-        "doc_id", "span_idx", "offset", "mention", F.col("pos").alias("tok_start")
-    )
-
-
-def extract_mentions_sql(docs: DataFrame, gazetteer: DataFrame) -> DataFrame:
-    """Pure-Catalyst exact mention detection (DEFAULT) — bit-identical
-    semantics to the pandas-UDF scan and the window formulation (three-way
-    pin in tests), zero Python in the plan.
-
-    Exact gazetteer matching doesn't need a trie: with MAX_PHRASE_TOKENS=2,
-    every possible match is a token unigram or an adjacent bigram, so
-
-    1. explode (pos, tok, next_tok) per text span — narrow, JVM;
-    2. broadcast-join tokens against 1-token surfaces and (tok ∥ ' ' ∥ next)
-       against 2-token surfaces → the CANDIDATE set (matched positions only —
-       ≪ corpus, the only thing that ever shuffles);
-    3. regroup candidates per span (sorted (pos, len desc)) and replay the
-       greedy longest-match scan as an ``F.aggregate`` cursor fold — the
-       LITERAL reference automaton (detect_mentions_py), run inside codegen.
-
-    Scale: the gazetteer never touches the driver (no collect, no 5M cap —
-    two broadcast hash joins), the corpus-sized token stream stays in its
-    scan partitions, and the single shuffle carries only candidate rows.
-    The island-parity window replay (extract_mentions_sql_windows) is the
-    measured-faster formulation for the isolated slice and is selectable via
-    ``SPARK_GRAFT_EXTRACT=windows``; the fold remains default because the
-    recorded fresh-JVM scaling campaign (BENCH/BASELINE.md) ran this exact
-    plan and the fused-pipeline difference measured a wash. The UDF path
-    (extract_mentions(use_udf=True)) remains as the seam for FUZZY matching,
-    where per-candidate Python scoring is genuinely needed.
-    """
-    surfaces = gazetteer.select("surface_form").distinct()
-    g1 = surfaces.filter(~F.col("surface_form").contains(" ")).withColumnRenamed(
-        "surface_form", "_sf1"
-    )
-    g2 = surfaces.filter(
-        F.size(F.split("surface_form", " ")) == 2
-    ).withColumnRenamed("surface_form", "_sf2")
-
-    ts = explode_text_spans(docs).withColumn("_t", F.split("span_text", " "))
-    tok = ts.withColumn(
-        "_nxt",
-        F.concat(
-            F.slice(F.col("_t"), 2, F.greatest(F.size("_t") - 1, F.lit(0))),
-            F.array(F.lit(None).cast("string")),
-        ),
-    ).select(
-        "doc_id",
-        "span_idx",
-        "offset",
-        F.posexplode(F.arrays_zip("_t", "_nxt")).alias("pos", "tc"),
-    )
-
-    uni = tok.join(F.broadcast(g1), tok["tc._t"] == F.col("_sf1")).select(
+    Scale shape: the gazetteer never touches the driver (broadcast hash
+    joins only, besides the one-row k aggregate); the corpus-sized token
+    stream stays in its scan partitions; phrase strings are assembled only
+    at ANCHOR positions (first-token matches), with per-anchor length bound
+    _fmax — candidate work is gazetteer-density proportional, not
+    corpus × k."""
+    g1, gm, gfirst = _split_gazetteer(gazetteer)
+    if k is None:
+        k = max_surface_tokens(gazetteer)
+    tok = _token_stream(docs, k)
+    uni = tok.join(F.broadcast(g1), tok["tok"] == F.col("_sf1")).select(
         "doc_id",
         "span_idx",
         "offset",
         "pos",
-        F.lit(-1).alias("nl"),  # negated length: sort_array puts longer first
-        F.col("tc._t").alias("mention"),
+        F.lit(-1).alias("nl"),
+        F.col("tok").alias("mention"),
     )
-    big = (
-        tok.filter(F.col("tc._nxt").isNotNull())
-        .withColumn("_bg", F.concat(F.col("tc._t"), F.lit(" "), F.col("tc._nxt")))
-        .join(F.broadcast(g2), F.col("_bg") == F.col("_sf2"))
+    if k <= 1:
+        return uni
+    anch = tok.join(F.broadcast(gfirst), tok["tok"] == F.col("_f"))
+    phrases = (
+        anch.select(
+            "doc_id",
+            "span_idx",
+            "offset",
+            "pos",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(2), F.col("_fmax")),
+                    # a phrase of L tokens needs L−1 successors; positions too
+                    # close to the span end yield null, filtered below (never
+                    # a silently truncated phrase that could match a shorter
+                    # surface under the wrong nl).
+                    lambda L: F.when(
+                        L - 1 <= F.size("nxt"),
+                        F.struct(
+                            (-L).cast("int").alias("nl"),
+                            F.concat_ws(
+                                " ", F.col("tok"), F.slice("nxt", F.lit(1), L - 1)
+                            ).alias("mention"),
+                        ),
+                    ),
+                )
+            ).alias("pc"),
+        )
+        .filter(F.col("pc").isNotNull())
         .select(
             "doc_id",
             "span_idx",
             "offset",
             "pos",
-            F.lit(-2).alias("nl"),
-            F.col("_bg").alias("mention"),
+            F.col("pc.nl").alias("nl"),
+            F.col("pc.mention").alias("mention"),
         )
     )
+    multi = phrases.join(F.broadcast(gm), F.col("mention") == F.col("_sfm")).select(
+        "doc_id", "span_idx", "offset", "pos", "nl", "mention"
+    )
+    return uni.unionByName(multi)
 
-    grouped = (
-        uni.unionByName(big)
-        .groupBy("doc_id", "span_idx", "offset")
-        .agg(
-            F.sort_array(F.collect_list(F.struct("pos", "nl", "mention"))).alias("c")
-        )
+
+def _greedy_fold_select(cands: DataFrame) -> DataFrame:
+    """Replay the greedy longest-match scan over a candidate table
+    ``(doc_id, span_idx, offset, pos, nl, mention)``: regroup per span
+    (sorted (pos asc, len desc) — nl = −len makes sort_array do it) and run
+    the cursor fold as an ``F.aggregate`` — the LITERAL reference automaton
+    (detect_mentions_py), inside codegen. A candidate is emitted iff
+    pos ≥ cursor, moving the cursor to pos + len (a consumed position skips
+    ALL its candidates; an emitted match consumes exactly its own tokens)."""
+    grouped = cands.groupBy("doc_id", "span_idx", "offset").agg(
+        F.sort_array(F.collect_list(F.struct("pos", "nl", "mention"))).alias("c")
     )
-    # Greedy cursor fold: candidates arrive (pos asc, len desc); one is
-    # emitted iff pos >= cursor, moving the cursor to pos + len — identical
-    # to the reference scan (a consumed position skips BOTH its bigram and
-    # unigram candidate; an emitted unigram consumes nothing beyond itself).
     sel = F.aggregate(
         F.col("c"),
         F.expr(f"named_struct('cur', 0, 'acc', cast(array() as {MENTIONS_ACC_T}))"),
@@ -347,50 +335,251 @@ def extract_mentions_sql(docs: DataFrame, gazetteer: DataFrame) -> DataFrame:
     )
 
 
+def extract_mentions_sql(
+    docs: DataFrame, gazetteer: DataFrame, k: int | None = None
+) -> DataFrame:
+    """Pure-Catalyst exact mention detection — bit-identical semantics to
+    the pandas-UDF scan, the sparse decomposition, and (for k ≤ 2
+    gazetteers) the window formulation; zero Python in the plan.
+
+    1. anchored broadcast candidate joins (candidate_mentions) → the
+       CANDIDATE set (matched positions only — ≪ corpus, the only thing
+       that ever shuffles);
+    2. greedy cursor fold per span (_greedy_fold_select).
+
+    Handles surfaces of ANY token count (k derived from the gazetteer when
+    not passed). This is the direct fold: EVERY candidate — including the
+    dense unigram matches — rides through collect_list arrays, which is the
+    formulation's allocation tax; extract_mentions_sql_sparse folds only
+    the sparse multi-token candidates. The UDF path
+    (extract_mentions(use_udf=True)) remains as the seam for FUZZY matching,
+    where per-candidate Python scoring is genuinely needed."""
+    return _greedy_fold_select(candidate_mentions(docs, gazetteer, k))
+
+
+def extract_mentions_sql_sparse(
+    docs: DataFrame, gazetteer: DataFrame, k: int | None = None
+) -> DataFrame:
+    """Sparse decomposition of the greedy scan — bit-equal to the direct
+    fold for ANY k (test-pinned; same decomposition the kg_mentions_kgram
+    DuckDB oracle replays), with the fold applied ONLY to multi-token
+    candidates:
+
+    1. a unigram match advances the cursor by exactly one position — it can
+       never block a later candidate — so the cursor state at any
+       multi-token candidate depends only on previously FIRED multi-token
+       matches: the greedy fold runs over multi candidates alone;
+    2. per position only the LONGEST multi candidate matters (if the longest
+       is cursor-blocked so is every shorter one; unblocked, longest-match
+       picks it) — one min(struct(nl, mention)) aggregate;
+    3. a unigram fires iff its position is not covered by a fired multi
+       ([tok_start, tok_start+len) exploded → equi anti-join, never a range
+       join).
+
+    Why it wins at corpus scale: dictionary unigrams are DENSE (in the
+    fixture corpus nearly every token matches), so the direct fold's
+    collect_list materializes a per-span array of almost every token, while
+    multi-token candidates are SPARSE (phrase anchors only) — the fold
+    arrays shrink by the uni:multi candidate ratio and the dense unigram
+    stream goes through flat hash joins instead."""
+    if k is None:
+        k = max_surface_tokens(gazetteer)
+    cands = candidate_mentions(docs, gazetteer, k)
+    uni = cands.filter(F.col("nl") == -1)
+    if k <= 1:
+        return uni.select(
+            "doc_id", "span_idx", "offset", "mention",
+            F.col("pos").alias("tok_start"),
+        )
+    longest = (
+        cands.filter(F.col("nl") <= -2)
+        .groupBy("doc_id", "span_idx", "offset", "pos")
+        .agg(F.min(F.struct("nl", "mention")).alias("s"))
+        .select(
+            "doc_id",
+            "span_idx",
+            "offset",
+            "pos",
+            F.col("s.nl").alias("nl"),
+            F.col("s.mention").alias("mention"),
+        )
+    )
+    fired = _greedy_fold_select(longest)
+    covered = fired.select(
+        "doc_id",
+        "span_idx",
+        "offset",
+        F.explode(
+            F.sequence(
+                F.col("tok_start"),
+                F.col("tok_start") + F.size(F.split("mention", " ")) - 1,
+            )
+        ).alias("pos"),
+    )
+    uni_fired = uni.join(
+        covered, ["doc_id", "span_idx", "offset", "pos"], "left_anti"
+    ).select(
+        "doc_id", "span_idx", "offset", "mention", F.col("pos").alias("tok_start")
+    )
+    return fired.unionByName(uni_fired)
+
+
+def extract_mentions_sql_windows(
+    docs: DataFrame, gazetteer: DataFrame, k: int | None = None
+) -> DataFrame:
+    """Island-parity WINDOW formulation of the greedy scan — bit-identical to
+    the fold and the pandas-UDF scan for uni/bigram gazetteers (three-way pin
+    in tests), zero Python in the plan and NO per-span candidate-array
+    materialization (the fold's allocation tax — why this form wins on large
+    corpora, BENCH/BASELINE.md).
+
+    Replays the greedy longest-match automaton in CLOSED FORM with window
+    functions over the bigram candidates (the same island-parity formulation
+    the kg_mentions_greedy_sql DuckDB oracle uses):
+
+    - only a FIRED bigram consumes a position beyond itself (a unigram
+      advances the cursor by exactly one), so a bigram candidate at pos p is
+      blocked iff the bigram at p-1 fired; within a maximal run of
+      consecutive bigram-candidate positions ("island") selection is
+      therefore odd-parity, and an island's first position always fires
+      (p-1 has no bigram candidate, and nothing else consumes ahead);
+    - a unigram fires iff its position has NO bigram candidate (a fired one
+      wins by longest-match; a blocked one means the position is consumed)
+      and the previous position's bigram wasn't selected.
+    Islands = pos − row_number() over (span, pos); selection = odd
+    row_number within the island; unigrams = two equi-keyed anti-joins
+    (hash/SMJ, never a nested loop).
+
+    The parity argument is exactly the k ≤ 2 special case of the automaton —
+    a gazetteer with longer surfaces has no closed form here, so this
+    RAISES for k > 2 (the fold handles any k). extract_mentions' auto
+    variant checks k before promoting."""
+    from pyspark.sql import Window
+
+    if k is None:
+        k = max_surface_tokens(gazetteer)
+    if k > 2:
+        raise ValueError(
+            f"extract_mentions_sql_windows: gazetteer has surfaces up to {k} "
+            "tokens — the island-parity replay is the k<=2 closed form of the "
+            "greedy automaton; use extract_mentions_sql (any k)"
+        )
+    cands = candidate_mentions(docs, gazetteer, k=k)
+    m2 = cands.filter(F.col("nl") == -2).select(
+        "doc_id", "span_idx", "offset", "pos", "mention"
+    )
+    w_span = Window.partitionBy("doc_id", "span_idx", "offset").orderBy("pos")
+    isl = m2.withColumn("grp", F.col("pos") - F.row_number().over(w_span))
+    w_grp = Window.partitionBy("doc_id", "span_idx", "offset", "grp").orderBy("pos")
+    m2sel = (
+        isl.withColumn("rn", F.row_number().over(w_grp))
+        .filter(F.col("rn") % 2 == 1)
+        .select("doc_id", "span_idx", "offset", "pos", "mention")
+    )
+    m1 = (
+        cands.filter(F.col("nl") == -1)
+        .select("doc_id", "span_idx", "offset", "pos", "mention")
+        .join(
+            m2.select("doc_id", "span_idx", "offset", "pos"),
+            ["doc_id", "span_idx", "offset", "pos"],
+            "left_anti",
+        )
+        .join(
+            m2sel.select(
+                "doc_id", "span_idx", "offset", (F.col("pos") + 1).alias("pos")
+            ),
+            ["doc_id", "span_idx", "offset", "pos"],
+            "left_anti",
+        )
+    )
+    return m2sel.unionByName(m1).select(
+        "doc_id", "span_idx", "offset", "mention", F.col("pos").alias("tok_start")
+    )
+
+
+def _plan_size_bytes(df: DataFrame) -> int | None:
+    """Catalyst's optimized-plan sizeInBytes estimate — accurate for
+    file-scan-rooted plans (parquet/Iceberg corpus: the production case);
+    a non-scaling pass-through for localCheckpoint/replicate plans, which is
+    why callers that KNOW the corpus cardinality pass n_docs instead."""
+    try:
+        return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:
+        return None
+
+
 def extract_mentions(
-    docs: DataFrame, gazetteer: DataFrame, use_udf: bool = False
+    docs: DataFrame,
+    gazetteer: DataFrame,
+    use_udf: bool = False,
+    variant: str | None = None,
+    n_docs: int | None = None,
 ) -> DataFrame:
     """docs × gazetteer → mentions(doc_id, span_idx, offset, mention,
     tok_start).
 
-    Default path is the pure-Catalyst broadcast-join + greedy cursor fold
-    (extract_mentions_sql) — no Python worker in the plan;
-    ``SPARK_GRAFT_EXTRACT=windows`` selects the island-parity window
-    formulation (extract_mentions_sql_windows) for fresh-JVM A/B campaigns.
+    ``variant`` (default ``auto``; ``$SPARK_GRAFT_EXTRACT`` overrides for
+    A/B campaigns):
+
+    - ``auto``    — size-adaptive: the island-parity window replay when the
+      gazetteer is uni/bigram-only (k ≤ 2, derived) AND the corpus is large
+      (``n_docs`` ≥ EXTRACT_WINDOWS_MIN_DOCS when the caller supplies it —
+      run_pipeline does — else Catalyst scan-stats ≥
+      EXTRACT_WINDOWS_MIN_BYTES); the cursor fold otherwise. Both are pure
+      Catalyst and bit-equal, so the choice is a plan decision, never a
+      semantics one.
+    - ``fold`` / ``windows`` — force one formulation.
+
     ``use_udf=True`` selects the Iterator-pandas-UDF trie scan: the
     gazetteer is collected to the driver (dictionary table ≪ corpus,
     enforced by GAZETTEER_MAX_SURFACES) and ``sc.broadcast`` to executors.
     All paths are bit-identical on exact matching (pinned by tests); the
     UDF seam exists for fuzzy extensions."""
-    if not use_udf:
-        import os
-
-        if os.environ.get("SPARK_GRAFT_EXTRACT") == "windows":
-            return extract_mentions_sql_windows(docs, gazetteer)
+    if use_udf:
+        surface_forms = [
+            r[0] for r in gazetteer.select("surface_form").distinct().collect()
+        ]
+        if len(surface_forms) > GAZETTEER_MAX_SURFACES:
+            raise ValueError(
+                f"gazetteer has {len(surface_forms)} surface forms — exceeds the "
+                f"driver-collect cap of {GAZETTEER_MAX_SURFACES}; a gazetteer this "
+                "large must be joined distributively, not broadcast"
+            )
+        bc = docs.sparkSession.sparkContext.broadcast(surface_forms)
+        udf = make_mention_udf(bc)
+        ts = explode_text_spans(docs)
+        return (
+            ts.withColumn("m", udf(F.col("span_text")))
+            .select(
+                "doc_id",
+                "span_idx",
+                "offset",
+                F.explode("m").alias("mention_s"),
+            )
+            .select(
+                "doc_id",
+                "span_idx",
+                "offset",
+                F.col("mention_s.mention").alias("mention"),
+                F.col("mention_s.tok_start").alias("tok_start"),
+            )
+        )
+    variant = os.environ.get("SPARK_GRAFT_EXTRACT") or variant or "auto"
+    if variant == "fold":
         return extract_mentions_sql(docs, gazetteer)
-    surface_forms = [r[0] for r in gazetteer.select("surface_form").distinct().collect()]
-    if len(surface_forms) > GAZETTEER_MAX_SURFACES:
-        raise ValueError(
-            f"gazetteer has {len(surface_forms)} surface forms — exceeds the "
-            f"driver-collect cap of {GAZETTEER_MAX_SURFACES}; a gazetteer this "
-            "large must be joined distributively, not broadcast"
-        )
-    bc = docs.sparkSession.sparkContext.broadcast(surface_forms)
-    udf = make_mention_udf(bc)
-    ts = explode_text_spans(docs)
-    return (
-        ts.withColumn("m", udf(F.col("span_text")))
-        .select(
-            "doc_id",
-            "span_idx",
-            "offset",
-            F.explode("m").alias("mention_s"),
-        )
-        .select(
-            "doc_id",
-            "span_idx",
-            "offset",
-            F.col("mention_s.mention").alias("mention"),
-            F.col("mention_s.tok_start").alias("tok_start"),
-        )
-    )
+    k = max_surface_tokens(gazetteer)
+    if variant == "sparse":
+        return extract_mentions_sql_sparse(docs, gazetteer, k=k)
+    if variant == "windows":
+        return extract_mentions_sql_windows(docs, gazetteer, k=k)
+    if variant != "auto":
+        raise ValueError(f"unknown extract variant: {variant!r}")
+    if k <= 2:
+        if n_docs is not None:
+            large = n_docs >= EXTRACT_WINDOWS_MIN_DOCS
+        else:
+            sz = _plan_size_bytes(docs)
+            large = sz is not None and sz >= EXTRACT_WINDOWS_MIN_BYTES
+        if large:
+            return extract_mentions_sql_windows(docs, gazetteer, k=k)
+    return extract_mentions_sql_sparse(docs, gazetteer, k=k)

@@ -47,6 +47,22 @@ def link_verdicts(gazetteer: DataFrame) -> DataFrame:
     )
 
 
+def _pre_normalized_safe(gazetteer: DataFrame) -> bool:
+    """The pre_normalized fast path is only bit-equal to the normalized
+    probe when every gazetteer surface form is a norm_surface FIXED POINT
+    (otherwise the two paths probe different keys). That holds for the
+    fixture gazetteer (test-pinned) but NOT necessarily for caller-supplied
+    ones, so callers requesting pre_normalized get a runtime check — one
+    dictionary-sized job (ADVICE r4): any drifting surface demotes the call
+    to the normalized probe instead of silently changing link semantics."""
+    return (
+        gazetteer.filter(norm_surface("surface_form") != F.col("surface_form"))
+        .limit(1)
+        .count()
+        == 0
+    )
+
+
 def link_mentions(
     mentions: DataFrame, gazetteer: DataFrame, pre_normalized: bool = False
 ) -> DataFrame:
@@ -65,8 +81,11 @@ def link_mentions(
     the regexp/lower/trim pass over the corpus-sized stream is pure
     allocation cost (measured round 4 — the VM's allocation-heavy-JVM
     ceiling makes it a scaling term, BENCH/BASELINE.md). A test pins that
-    the fixture gazetteer's surfaces are norm_surface fixed points, which
-    makes the two paths bit-equal there."""
+    the fixture gazetteer's surfaces are norm_surface fixed points, and a
+    runtime guard (_pre_normalized_safe, one dictionary-sized job) demotes
+    the request to the normalized probe for gazetteers where they aren't."""
+    if pre_normalized and not _pre_normalized_safe(gazetteer):
+        pre_normalized = False
     verdict = link_verdicts(gazetteer)
     probe = (
         mentions
@@ -101,7 +120,13 @@ def link_and_canonicalize(
     the corpus-sized mention stream does ONE hash probe total instead of
     two (link_mentions then apply_canon_map). Output is bit-equal to
     ``apply_canon_map(link_mentions(mentions, gazetteer), canon_map)``
-    (pinned by tests): (doc_id, span_idx, tok_start, entity_c, type_c)."""
+    (pinned by tests): (doc_id, span_idx, tok_start, entity_c, type_c).
+
+    Same pre_normalized runtime guard as link_mentions: a gazetteer whose
+    surfaces aren't norm_surface fixed points demotes to the normalized
+    probe (one dictionary-sized check job)."""
+    if pre_normalized and not _pre_normalized_safe(gazetteer):
+        pre_normalized = False
     verdict = link_verdicts(gazetteer).join(canon_map, "entity_id", "left").select(
         "surface_form",
         F.coalesce("canon_id", "entity_id").alias("entity_c"),

@@ -42,6 +42,20 @@ JACCARD_T = 0.5
 # distributed path untouched for corpus-scale gazetteers.
 CANON_LOCAL_THRESHOLD = 100_000
 
+# Per-stage code/schema version tokens, folded into each stage's params hash
+# (round-5, ADVICE r4): a semantic plan change with identical params must
+# INVALIDATE pre-existing snapshots instead of silently resuming output
+# computed by old code — bump the stage's token when its plan semantics or
+# output schema change. (Rounds 3-4 changed stage plans — fused link,
+# Catalyst extract — without this; safe only because the outputs were
+# test-pinned bit-equal.)
+STAGE_VERSIONS = {
+    "extract": 3,  # r3 catalyst fold, r5 k-token generalization
+    "canon": 2,  # r4 driver-local fast path
+    "link": 3,  # r4 fused re-key, r5 pre_normalized runtime guard
+    "materialize": 1,
+}
+
 
 @dataclass
 class PipelineRun:
@@ -195,19 +209,33 @@ def run_pipeline(
     gazetteer: DataFrame | None = None,
     patterns: DataFrame | None = None,
     stop_after: str | None = None,
+    max_ents_per_doc: int | None = None,
 ) -> PipelineRun:
     """Run (or resume) the full flow over the corpus at ``sf_dir``.
 
     ``stop_after`` ∈ {extract, link, canon} simulates a killed run for the
     resume test (SURVEY §5.2 item 6).
+
+    ``max_ents_per_doc``: opt-in fail-fast guard against pathologically
+    entity-dense docs blowing up the quadratic doc-scope pair join —
+    forwarded to assemble_triples (see its docstring); validation
+    deployments enable it without touching operator code.
     """
     overrides = {"docs": docs, "gazetteer": gazetteer, "patterns": patterns}
     flat = FX.load_flat_documents(spark, sf_dir)
+    docs_overridden = docs is not None
     docs = docs if docs is not None else FX.interleave_documents(flat)
     gazetteer = gazetteer if gazetteer is not None else FX.build_gazetteer(flat)
     patterns = (
         patterns if patterns is not None else FX.build_relation_patterns(spark)
     )
+    # Corpus cardinality, used for two size-adaptive plan decisions (extract
+    # variant; fan-out checkpoint mode). interleave preserves row count, so
+    # the default corpus counts the FLAT parquet scan — a metadata-cheap
+    # count (footer row counts; an Iceberg table answers from the snapshot
+    # manifest). Overridden corpora count themselves (callers pass
+    # checkpointed/derived frames).
+    n_docs = (docs if docs_overridden else flat).count()
 
     run = PipelineRun(triples=None)
     # Input fingerprint ties snapshots to input CONTENT (file names + sizes
@@ -224,13 +252,16 @@ def run_pipeline(
                 in_fp += f";{name}={dataframe_fingerprint(df)}"
     params = {"sf_dir": sf_dir, "lsh_k": LSH_K, "bands": LSH_BANDS, "tau": JACCARD_T}
 
+    def _params(stage: str) -> dict:
+        return {**params, "stage_version": STAGE_VERSIONS[stage]}
+
     ext = run_stage(
         spark,
         store,
         "extract",
-        params,
+        _params("extract"),
         in_fp,
-        lambda: extract_mentions(docs, gazetteer),
+        lambda: extract_mentions(docs, gazetteer, n_docs=n_docs),
         fan_out=False,  # consumed only by link
     )
     run.stages["extract"] = ext
@@ -246,7 +277,13 @@ def run_pipeline(
     # (mention/surface/score strings never hit the block store — at corpus
     # scale that halves the bytes of the largest checkpoint).
     canon = run_stage(
-        spark, store, "canon", params, in_fp, lambda: build_canon_map(gazetteer)
+        spark,
+        store,
+        "canon",
+        _params("canon"),
+        in_fp,
+        lambda: build_canon_map(gazetteer),
+        fan_out=False,  # consumed only by link's broadcast verdict build
     )
     run.stages["canon"] = canon
     if canon.skipped:
@@ -258,7 +295,7 @@ def run_pipeline(
         spark,
         store,
         "link",
-        params,
+        _params("link"),
         in_fp,
         # Fused: the link verdict and canon map are both dictionary-sized,
         # so they compose on the broadcast side — ONE hash probe per mention
@@ -267,6 +304,7 @@ def run_pipeline(
         lambda: link_and_canonicalize(
             ext.df, gazetteer, canon.df, pre_normalized=True
         ),
+        scale_hint=n_docs,  # links ∝ corpus: fan-out mode follows corpus scale
     )
     run.stages["link"] = lnk
     if lnk.skipped:
@@ -278,9 +316,12 @@ def run_pipeline(
         spark,
         store,
         "materialize",
-        params,
+        _params("materialize"),
         in_fp,
-        lambda: assemble_triples(lnk.df, patterns),
+        lambda: assemble_triples(
+            lnk.df, patterns, max_ents_per_doc=max_ents_per_doc
+        ),
+        fan_out=False,  # consumed once by the caller's action
     )
     run.stages["materialize"] = mat
     if mat.skipped:

@@ -120,7 +120,21 @@ def release_fanouts() -> None:
     _FANOUT_PERSISTED.clear()
 
 
-def materialize_fanout(df: DataFrame, mode: str | None = None) -> DataFrame:
+# auto fan-out mode: parquet only pays off when the materialized stage is
+# CORPUS-sized AND the session is wide-parallel; for dictionary-small
+# fan-outs the parquet committer + fresh-scan overhead dominates (measured
+# round 4→5: minhash_doc_pairs' 5k-doc shingle fan-out at local[32] — warm
+# parquet 4.8 s vs disk 3.2 s, COLD parquet 17.3 s; that one default choice
+# was the entire 4.0→12.0 s round-4 driver-bench regression). Catalyst plan
+# stats can't see corpus scale through localCheckpoint/replicate plans
+# (measured: sizeInBytes is identical at x4 and x64 replication), so the
+# size term is an explicit caller hint, same pattern as extract's n_docs.
+FANOUT_PARQUET_MIN_ROWS = 50_000
+
+
+def materialize_fanout(
+    df: DataFrame, mode: str | None = None, scale_hint: int | None = None
+) -> DataFrame:
     """Materialize a fan-out stage output exactly once (consumed by several
     downstream branches). Three storage paths, selectable via
     ``$SPARK_GRAFT_CKPT``; measured head-to-head at 2 and 8 pinned cores,
@@ -128,15 +142,17 @@ def materialize_fanout(df: DataFrame, mode: str | None = None) -> DataFrame:
     disk default regressed the driver bench 43% at local[32] — at the
     driver's own 32 threads (BENCH/BASELINE.md):
 
-    - ``auto`` (default): ``parquet`` at ≥16-way parallelism, ``disk``
-      below. Round-3 picked disk from pinned 2-vs-8-core A/Bs only; at
-      local[32] the persist+count materialization job serializes through
-      the shared block manager while the parquet write commits files purely
-      per-task (min-of-3 A/B ×3 alternating passes, 80k docs: parquet
-      9.2 s / disk 10.5 / local 12.7 at 32 threads; at 2–8 pinned cores
-      disk keeps winning: +2.9 s vs parquet's +10.4 at 8). Mode selection
-      follows the session's actual parallelism instead of freezing either
-      regime's winner.
+    - ``auto`` (default): ``parquet`` only when the input is known
+      corpus-scale (``scale_hint`` ≥ FANOUT_PARQUET_MIN_ROWS — callers that
+      know the corpus cardinality pass it; run_pipeline does) AND the
+      session is ≥16-way parallel; ``disk`` otherwise. At local[32] on the
+      80k-doc pipeline fan-out parquet wins (min-of-3 A/B ×3 alternating
+      passes: parquet 9.2 s / disk 10.5 / local 12.7) because the
+      persist+count job serializes through the shared block manager while
+      the parquet write commits purely per-task; on SMALL inputs and at 2–8
+      pinned cores disk wins everywhere measured (round-4 regression note
+      above), so disk is the no-information default — its worst measured
+      penalty is ~13% at 32 threads, parquet's is 3-5x on small inputs.
     - ``disk``: ``persist(DISK_ONLY)`` + count. Tasks spill serialized
       blocks to executor-local disk (tmpfs here) in parallel and never
       touch the deserialized memory store, so there is no shared
@@ -153,7 +169,9 @@ def materialize_fanout(df: DataFrame, mode: str | None = None) -> DataFrame:
     """
     mode = mode or os.environ.get("SPARK_GRAFT_CKPT", "auto")
     if mode == "auto":
-        mode = "parquet" if df.sparkSession.sparkContext.defaultParallelism >= 16 else "disk"
+        wide = df.sparkSession.sparkContext.defaultParallelism >= 16
+        big = scale_hint is not None and scale_hint >= FANOUT_PARQUET_MIN_ROWS
+        mode = "parquet" if (wide and big) else "disk"
     if mode == "none":
         # no materialization: downstream consumers recompute the stage's
         # subtree. Correct (everything is deterministic) and competitive
@@ -375,6 +393,7 @@ def run_stage(
     input_fingerprint: str,
     compute: Callable[[], DataFrame],
     fan_out: bool = True,
+    scale_hint: int | None = None,
 ) -> StageResult:
     """Execute-or-resume one pipeline stage.
 
@@ -391,7 +410,7 @@ def run_stage(
     if store is None:
         df = compute()
         if fan_out:
-            df = materialize_fanout(df)
+            df = materialize_fanout(df, scale_hint=scale_hint)
         return StageResult(df, skipped=False, manifest={})
     phash = params_hash(params)
     man = store.load_manifest(stage, phash)

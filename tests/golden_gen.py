@@ -19,12 +19,16 @@ import re
 
 import pandas as pd
 
-MAX_PHRASE_TOKENS = 2
 JACCARD_T = 0.5
 
 
 def mentions_golden(docs: pd.DataFrame) -> pd.DataFrame:
-    """docs: (doc_id, spans=list[dict]). Greedy longest-match scan."""
+    """docs: (doc_id, spans=list[dict]). Greedy longest-match scan; the max
+    phrase length is DERIVED from the surface set (round 5 — surfaces of any
+    token count), mirroring kbgen_spark.operators.extract.detect_mentions_py."""
+    max_phrase = max(
+        (s.count(" ") + 1 for s in mentions_golden.surface_set), default=1
+    )
     rows = []
     for _, d in docs.iterrows():
         for span_idx, s in enumerate(d["spans"]):
@@ -34,7 +38,7 @@ def mentions_golden(docs: pd.DataFrame) -> pd.DataFrame:
             i = 0
             while i < len(toks):
                 matched = 0
-                for plen in range(min(MAX_PHRASE_TOKENS, len(toks) - i), 0, -1):
+                for plen in range(min(max_phrase, len(toks) - i), 0, -1):
                     cand = " ".join(toks[i : i + plen])
                     if cand in mentions_golden.surface_set:
                         rows.append(

@@ -63,5 +63,9 @@ def test_gazetteer_properties(gazetteer):
     assert plurals, "fixture must contain near-duplicate surface forms"
     for s in plurals:
         assert base[s] == base[s + "s"]
-    # two-token phrases present
+    # multi-token phrases present at every configured length (round 5:
+    # 2..5-token surfaces so extract is exercised past the old bigram cap)
     assert (g["surface_form"].str.contains(" ")).sum() == FX.N_PHRASES
+    n_toks = g["surface_form"].str.split(" ").str.len()
+    for n, quota in FX.N_NGRAM_PHRASES.items():
+        assert (n_toks == n).sum() == quota, f"{n}-token phrase quota"

@@ -74,3 +74,31 @@ def test_cc_random_graphs(spark, seed):
     ]
     edges = [(a, b) for a, b in edges if a != b]
     _run(spark, edges, set(vs))
+
+
+def test_cc_small_edges_huge_vertices_no_driver_collect(spark):
+    """Round-5 gate (VERDICT r4 #7): small edge set + corpus-sized vertices
+    must NOT collect the vertices — edge components resolve locally, isolated
+    vertices attach distributively. Pinned two ways: the result plan still
+    contains the distributed Range scan (a full driver collect would reduce
+    it to a LocalTableScan/parallelize), and the assignment is correct on a
+    sampled slice + exact in count."""
+    from pyspark.sql import functions as F
+
+    n = 5_000
+    edges = spark.createDataFrame(
+        [("v00000", "v00001"), ("v00001", "v00002"), ("v04000", "v04001")],
+        "src string, dst string",
+    )
+    vertices = spark.range(n).select(
+        F.format_string("v%05d", F.col("id")).alias("id")
+    )
+    comp = connected_components(edges, vertices=vertices, local_threshold=1_000)
+    plan = comp._jdf.queryExecution().executedPlan().toString()
+    assert "Range" in plan, "vertices must stay distributed (no driver collect)"
+    rows = {r["id"]: r["component"] for r in comp.collect()}
+    assert len(rows) == n
+    assert rows["v00000"] == rows["v00001"] == rows["v00002"] == "v00000"
+    assert rows["v04000"] == rows["v04001"] == "v04000"
+    # isolated vertices map to themselves
+    assert rows["v00042"] == "v00042" and rows["v04999"] == "v04999"

@@ -67,16 +67,130 @@ def test_mention_window_replay_equals_fold(spark, docs, gazetteer):
     bit-identical to the default cursor-FOLD form (the literal reference
     automaton). Together with the udf-vs-sql pin above, all three
     independent formulations agree — the strongest evidence that the
-    closed-form parity argument is exact, not fixture luck."""
+    closed-form parity argument is exact, not fixture luck.
+
+    The window replay is the k<=2 closed form, so it runs on the gazetteer
+    restricted to uni/bigram surfaces (round 5: the fixture gazetteer now
+    carries 3-5-token phrases) and must RAISE on the full gazetteer instead
+    of silently dropping longer surfaces."""
+    import pytest
+
     from kbgen_spark.operators.extract import (
         extract_mentions_sql,
         extract_mentions_sql_windows,
     )
 
-    win = extract_mentions_sql_windows(docs, gazetteer)
-    fold = extract_mentions_sql(docs, gazetteer)
+    gaz2 = gazetteer.filter(F.size(F.split("surface_form", " ")) <= 2)
+    win = extract_mentions_sql_windows(docs, gaz2)
+    fold = extract_mentions_sql(docs, gaz2)
     assert win.exceptAll(fold).count() == 0
     assert fold.exceptAll(win).count() == 0
+    with pytest.raises(ValueError, match="k<=2 closed form"):
+        extract_mentions_sql_windows(docs, gazetteer)
+
+
+def test_mention_ktoken_surfaces_three_way(spark):
+    """Round-5 generalization pin (VERDICT r4 'Next round' #1): surfaces of
+    3-5 tokens — including nested prefixes that force real longest-match
+    decisions — agree bit-exactly across the Catalyst fold, the pandas-UDF
+    trie, and the pure-python reference."""
+    from kbgen_spark.operators.extract import extract_mentions
+
+    surfaces = {
+        "university",
+        "university of california",
+        "university of california berkeley campus",
+        "of",
+        "california",
+        "berkeley campus",
+        "state of the art",
+        "art",
+        "the",
+    }
+    texts = [
+        "university of california berkeley campus is large",
+        "the university of california system",
+        "a state of the art university of california berkeley campus",
+        "university of of california",
+        "state of the state of the art art",
+        "",
+        "university",
+        "of university california of",
+    ]
+    docs = spark.createDataFrame(
+        [(f"d{i}", [("text", t, None, 0)]) for i, t in enumerate(texts)],
+        "doc_id string, spans array<struct<kind:string,text:string,"
+        "media_ref:string,offset:int>>",
+    )
+    gaz = spark.createDataFrame(
+        [(s,) for s in sorted(surfaces)], "surface_form string"
+    )
+    by_first: dict = {}
+    for s in surfaces:
+        by_first.setdefault(s.split(" ")[0], []).append(s)
+    exp = set()
+    for i, t in enumerate(texts):
+        from kbgen_spark.operators.extract import detect_mentions_py
+
+        for mention, tok_start in detect_mentions_py(t, surfaces, by_first):
+            exp.add((f"d{i}", 0, 0, mention, tok_start))
+    fold = {tuple(r) for r in extract_mentions(docs, gaz).collect()}
+    udf = {tuple(r) for r in extract_mentions(docs, gaz, use_udf=True).collect()}
+    assert fold == exp
+    assert udf == exp
+    # greedy longest-match sanity on the headline case
+    assert ("d0", 0, 0, "university of california berkeley campus", 0) in exp
+
+
+def test_mention_sparse_equals_fold_any_k(spark, docs, gazetteer):
+    """Round-5 formulation pin: the SPARSE decomposition (greedy fold over
+    multi-token candidates only + coverage anti-join for unigrams — the
+    shipped default) is bit-equal to the direct cursor fold on (a) the
+    fixture gazetteer (k=5 with nested prefixes) and (b) a dense-unigram
+    adversarial corpus where almost every token is a unigram candidate and
+    overlapping multi candidates force real cursor decisions."""
+    import random
+
+    from kbgen_spark.operators.extract import (
+        extract_mentions_sql,
+        extract_mentions_sql_sparse,
+    )
+
+    sparse = extract_mentions_sql_sparse(docs, gazetteer)
+    fold = extract_mentions_sql(docs, gazetteer)
+    assert sparse.exceptAll(fold).count() == 0
+    assert fold.exceptAll(sparse).count() == 0
+    assert sparse.count() > 0
+    # no Python node in the sparse plan either
+    plan = sparse._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+    # adversarial: 2-letter alphabet, every token a unigram surface, nested
+    # multi surfaces up to 3 tokens → dense uni + overlapping multi islands
+    rng = random.Random(7)
+    surfaces = {"a", "b", "a b", "b a", "a a", "a b a", "b b b", "b a a"}
+    by_first: dict = {}
+    for s in surfaces:
+        by_first.setdefault(s.split(" ")[0], []).append(s)
+    doc_rows, exp_rows = [], []
+    for i in range(200):
+        toks = [rng.choice(["a", "b", "c"]) for _ in range(rng.randint(0, 14))]
+        text = " ".join(toks)
+        doc_rows.append((f"d{i:03d}", [("text", text, None, 0)]))
+        for mention, tok_start in detect_mentions_py(text, surfaces, by_first):
+            exp_rows.append((f"d{i:03d}", 0, 0, mention, tok_start))
+    adocs = spark.createDataFrame(
+        doc_rows,
+        "doc_id string, spans array<struct<kind:string,text:string,"
+        "media_ref:string,offset:int>>",
+    )
+    agaz = spark.createDataFrame(
+        [(s,) for s in sorted(surfaces)], "surface_form string"
+    )
+    got = {
+        tuple(r) for r in extract_mentions_sql_sparse(adocs, agaz).collect()
+    }
+    assert got == set(exp_rows)
 
 
 def test_mention_window_replay_on_adversarial_islands(spark):
@@ -275,3 +389,57 @@ def test_resume_output_equals_fresh_run(spark, tmp_path):
     resumed = run_pipeline(spark, SF_DIR, store=store)
     fresh = run_pipeline(spark, SF_DIR)
     assert triples_fingerprint(resumed.triples) == triples_fingerprint(fresh.triples)
+
+
+def test_pre_normalized_guard_demotes_on_drifting_gazetteer(spark):
+    """ADVICE r4: pre_normalized=True with a caller-supplied gazetteer whose
+    surfaces are NOT norm_surface fixed points must fall back to the
+    normalized probe — identical rows to pre_normalized=False — instead of
+    silently changing link semantics."""
+    from kbgen_spark.operators.link import link_and_canonicalize, link_mentions
+
+    gaz = spark.createDataFrame(
+        [("Scan!", "E1", "thing", 0.9)],  # norm_surface('Scan!') = 'scan'
+        "surface_form string, entity_id string, entity_type string, prior double",
+    )
+    mentions = spark.createDataFrame(
+        [("d1", 0, 0, "Scan!", 0)],
+        "doc_id string, span_idx int, offset int, mention string, tok_start int",
+    )
+    fast = link_mentions(mentions, gaz, pre_normalized=True).collect()
+    slow = link_mentions(mentions, gaz, pre_normalized=False).collect()
+    assert sorted(map(tuple, fast)) == sorted(map(tuple, slow))
+    canon = spark.createDataFrame(
+        [("E1", "E1", "thing")], "entity_id string, canon_id string, canon_type string"
+    )
+    fused_fast = link_and_canonicalize(mentions, gaz, canon, pre_normalized=True)
+    fused_slow = link_and_canonicalize(mentions, gaz, canon, pre_normalized=False)
+    assert sorted(map(tuple, fused_fast.collect())) == sorted(
+        map(tuple, fused_slow.collect())
+    )
+
+
+def test_pipeline_max_ents_per_doc_guard(spark, docs, gazetteer, patterns):
+    """Round-5 #8: the quadratic-pair-join guard is reachable through the
+    pipeline entry point. A generous cap passes; an absurdly low one raises
+    with the offending doc ids."""
+    import pytest
+
+    run = run_pipeline(
+        spark,
+        SF_DIR,
+        docs=docs,
+        gazetteer=gazetteer,
+        patterns=patterns,
+        max_ents_per_doc=10_000,
+    )
+    assert run.triples.count() > 0
+    with pytest.raises(ValueError, match="max_ents_per_doc"):
+        run_pipeline(
+            spark,
+            SF_DIR,
+            docs=docs,
+            gazetteer=gazetteer,
+            patterns=patterns,
+            max_ents_per_doc=1,
+        ).triples.count()
