@@ -900,6 +900,31 @@ def canon_components(spark, sf_dir):
     return _PIPELINE_CACHE[key]
 
 
+def canon_map_mirror(spark, sf_dir):
+    """G1/G2/J5 canonicalization with a REAL cross-engine oracle (round 5 —
+    upgrades the rows-only canon_components check): build_canon_map over the
+    full fixture gazetteer with the md5-60-bit MinHash family injected and
+    the DISTRIBUTED path forced (local_threshold=0 — the LSH band self-join,
+    large/small-star connected components, and min-struct rep selection all
+    execute as Spark plans; the driver-local mirror is bit-equal by pytest
+    pin). DuckDB replays the identical chain — char-bigram shingles, 32
+    md5-60-bit min-hashes, 16 band-slice buckets (bucket equality IS slice
+    equality; the xxhash64 bucket code Spark uses is only an equi-join key),
+    candidate pairs, exact bigram-Jaccard >= 0.5 verify — then resolves
+    components by recursive transitive closure (min reachable surface) and
+    applies the same min-tuple rep selection. Any divergence in candidate
+    generation, CC, or rep tie-breaks fails the value hash."""
+    from kbgen_spark import fixtures as FX
+    from kbgen_spark.fixtures_openvocab import mirrorable_shingle_hash
+    from kbgen_spark.pipeline import build_canon_map
+
+    flat = FX.load_flat_documents(spark, sf_dir)
+    gaz = FX.build_gazetteer(flat)
+    return build_canon_map(
+        gaz, local_threshold=0, shingle_hash=mirrorable_shingle_hash
+    )
+
+
 def emit_m1_sample(spark, sf_dir):
     from kbgen_spark.models.emit import emit_synthetic
     from kbgen_spark.models.learn import learn_m1
@@ -1219,7 +1244,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # slot 50 this time — the r4 off-by-one put entry #50 below it);
     # 14 r04-green entries rotate out on fresh r04 evidence.
     return {
-        # -- tier 1: need driver evidence this round (16 entries) -------
+        # -- tier 1: need driver evidence this round (17 entries) -------
         # new oracle (round 5): any-k greedy mention detection over the
         # 2-5-token phrase gazetteer (recursive-decomposition DuckDB replay)
         "kg_mentions_kgram": kg_mentions_kgram,
@@ -1229,6 +1254,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r4-green but the Spark side changed this round (gazetteer k<=2
         # subset + shared anchored candidate generation) — re-evidence
         "kg_mentions_greedy_sql": kg_mentions_greedy_sql,
+        # new oracle (round 5): the full distributed canon chain (LSH bands
+        # → Jaccard verify → connected components → rep selection) replayed
+        # in DuckDB via the md5-60-bit family + recursive transitive closure
+        "canon_map_mirror": canon_map_mirror,
         # green in r03, rotated out of the r04 window — 13 entries riding
         # on r03 evidence (VERDICT r4 #9: every oracle-backed entry green
         # in r04 ∪ r05)
@@ -1268,7 +1297,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_scores_documents": quality_scores_documents,
         "token_counts_documents": token_counts_documents,
         "fingerprint_md5_documents": fingerprint_md5_documents,
-        "embedding_norms": embedding_norms,
         "q1_pricing_summary": q1_pricing_summary,
         "agg_rollup_orders": agg_rollup_orders,
         "agg_cube_lineitem": agg_cube_lineitem,
@@ -1285,6 +1313,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --------- 50-entry window boundary (slots 1-50 above) ----------
         # -- tier 3 (past the window): green in r04, oracle-backed,
         #    unchanged code paths — rotate back in when evidence ages ----
+        "embedding_norms": embedding_norms,
         "join_salted_hot_key": join_salted_hot_key,
         "window_topk_orders_per_customer": window_topk_orders_per_customer,
         "window_lag_event_gap": window_lag_event_gap,
@@ -2012,6 +2041,169 @@ def oracle_sql() -> dict[str, str]:
                    cast(sum(pos) as bigint) as sum_pos,
                    cast(min(pos) as int) as min_pos
             from mentions group by mention
+        """,
+        # Round-5 canon oracle: the ENTIRE distributed canonicalization
+        # chain replayed — full n-gram gazetteer derivation, char-bigram
+        # shingles (whole string when len<2, mirroring char_ngrams), 32
+        # md5-60-bit min-hashes, 16 bands x 2 rows bucketed by SLICE
+        # EQUALITY (Spark's xxhash64 bucket code is just an equi-join key
+        # for the slice; a hash collision there would only add a false
+        # candidate, which the exact verify filters in both engines),
+        # exact bigram-Jaccard >= 0.5 verify, connected components via
+        # recursive transitive closure (component = min reachable surface,
+        # matching CC's min-member contract), then per-component /
+        # per-entity min-tuple rep selection identical to Spark's
+        # min(struct(...)) field ordering.
+        "canon_map_mirror": """
+            with recursive tl as materialized (
+                select doc_id, string_split(text, ' ') as t from documents
+            ),
+            uni as (
+                select tok, count(*) as cnt
+                from (select unnest(string_split(text, ' ')) as tok
+                      from documents) x
+                group by tok
+            ),
+            ranked as (
+                select tok, row_number() over (order by cnt desc, tok asc) as rank
+                from uni
+            ),
+            grams as (
+                select n, gram, count(*) as cnt from (
+                    select 2 as n, unnest(list_transform(range(1, len(t)),
+                        i -> array_to_string(t[i:i+1], ' '))) as gram
+                    from tl where len(t) >= 2
+                    union all
+                    select 3, unnest(list_transform(range(1, len(t)-1),
+                        i -> array_to_string(t[i:i+2], ' ')))
+                    from tl where len(t) >= 3
+                    union all
+                    select 4, unnest(list_transform(range(1, len(t)-2),
+                        i -> array_to_string(t[i:i+3], ' ')))
+                    from tl where len(t) >= 4
+                    union all
+                    select 5, unnest(list_transform(range(1, len(t)-3),
+                        i -> array_to_string(t[i:i+4], ' ')))
+                    from tl where len(t) >= 5
+                ) g group by n, gram
+            ),
+            phr as (
+                select gram, n,
+                       row_number() over (partition by n
+                                          order by cnt desc, gram asc) as r
+                from grams
+            ),
+            gaz0 as (
+                select tok as surface_form, rank from ranked
+                union all
+                select gram, (select count(*) from uni)
+                       + case n when 2 then 0 when 3 then 10
+                                when 4 then 15 else 18 end + r
+                from phr
+                where (n = 2 and r <= 10) or (n = 3 and r <= 5)
+                   or (n = 4 and r <= 3) or (n = 5 and r <= 2)
+            ),
+            gazent as (
+                select surface_form,
+                       'E' || lpad(cast(rank as varchar), 5, '0') as entity_id,
+                       case cast((rank - 1) % 3 as int)
+                           when 0 then 'thing' when 1 then 'action'
+                           else 'system'
+                       end as entity_type
+                from gaz0
+            ),
+            gazfull as materialized (
+                select surface_form, entity_id, entity_type from gazent
+                union all
+                select g.surface_form || 's', g.entity_id, g.entity_type
+                from gazent g
+                join ranked rk on g.surface_form = rk.tok and rk.rank <= 5
+            ),
+            surf as materialized (select distinct surface_form from gazfull),
+            sh as materialized (
+                select distinct surface_form,
+                       case when len(surface_form) >= 2
+                            then substr(surface_form, i, 2)
+                            else surface_form end as shingle
+                from (select surface_form,
+                             unnest(range(1, greatest(len(surface_form) - 1,
+                                                      1) + 1)) as i
+                      from surf) s
+            ),
+            sig as (
+                select surface_form, j,
+                       min(cast(('0x'||substr(md5(shingle||'#'||j),1,15))
+                                as bigint)) as h
+                from sh, range(32) t(j)
+                group by surface_form, j
+            ),
+            band as (
+                select surface_form, j // 2 as band,
+                       array_to_string(list(h order by j), ',') as bucket
+                from sig group by surface_form, j // 2
+            ),
+            cand as (
+                select distinct a.surface_form as a, b.surface_form as b
+                from band a join band b
+                  on a.band = b.band and a.bucket = b.bucket
+                 and a.surface_form < b.surface_form
+            ),
+            ssz as (
+                select surface_form, count(*) as sz from sh group by surface_form
+            ),
+            iv as (
+                select x.surface_form as a, y.surface_form as b,
+                       count(*) as i
+                from sh x join sh y
+                  on x.shingle = y.shingle
+                 and x.surface_form < y.surface_form
+                group by 1, 2
+            ),
+            ver as (
+                select c.a, c.b
+                from cand c
+                join iv on iv.a = c.a and iv.b = c.b
+                join ssz sa on c.a = sa.surface_form
+                join ssz sb on c.b = sb.surface_form
+                where cast(iv.i as double) / (sa.sz + sb.sz - iv.i) >= 0.5
+            ),
+            edges as materialized (
+                select a as s, b as d from ver
+                union all
+                select b, a from ver
+            ),
+            reach as (
+                select surface_form as src, surface_form as dst from surf
+                union
+                select r.src, e.d from reach r join edges e on r.dst = e.s
+            ),
+            comp as (
+                select src as surface_form, min(dst) as component
+                from reach group by src
+            ),
+            gc as (
+                select g.surface_form, g.entity_id, g.entity_type, c.component
+                from gazfull g join comp c on g.surface_form = c.surface_form
+            ),
+            canon as (
+                select component, entity_id as canon_id,
+                       entity_type as canon_type
+                from (select component, entity_id, entity_type,
+                             row_number() over (
+                                 partition by component
+                                 order by entity_id asc, entity_type asc
+                             ) as rn
+                      from gc) s
+                where rn = 1
+            )
+            select entity_id, canon_id, canon_type
+            from (select gc.entity_id, canon.canon_id, canon.canon_type,
+                         row_number() over (
+                             partition by gc.entity_id
+                             order by canon.canon_id asc, canon.canon_type asc
+                         ) as rn
+                  from gc join canon on gc.component = canon.component) s
+            where rn = 1
         """,
         "kg_cooccur_pairs": _GAZ_CTE
         + """

@@ -28,13 +28,26 @@ DEFAULT_BANDS = 16
 
 
 def minhash_signatures(
-    sf: DataFrame, col: str = "surface_form", k: int = DEFAULT_K, ngram: int = 2
+    sf: DataFrame,
+    col: str = "surface_form",
+    k: int = DEFAULT_K,
+    ngram: int = 2,
+    shingle_hash=None,
 ) -> DataFrame:
     """(col) → (col, sig array<bigint>). One explode + one groupBy with k
-    ``min`` aggregates — a single shuffle on the surface form."""
+    ``min`` aggregates — a single shuffle on the surface form.
+
+    ``shingle_hash``: callable (shingle Column, i) -> Column giving the i-th
+    hash family member; defaults to ``xxhash64(shingle, i)`` (fastest —
+    JVM-side). The md5-60-bit family (fixtures_openvocab
+    ``mirrorable_shingle_hash``) is injectable so a DuckDB oracle can replay
+    the exact signature → band → candidate chain (same seam as
+    dedup.minhash_signatures_from_sets)."""
+    if shingle_hash is None:
+        shingle_hash = lambda c, i: F.xxhash64(c, F.lit(i))  # noqa: E731
     sh = sf.select(col, F.explode(char_ngrams(col, ngram)).alias("shingle"))
     aggs = [
-        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}") for i in range(k)
+        F.min(shingle_hash(F.col("shingle"), i)).alias(f"h{i}") for i in range(k)
     ]
     sig = sh.groupBy(col).agg(*aggs)
     return sig.select(col, F.array(*[f"h{i}" for i in range(k)]).alias("sig"))
@@ -99,9 +112,10 @@ def similar_surface_edges(
     bands: int = DEFAULT_BANDS,
     ngram: int = 2,
     threshold: float = 0.5,
+    shingle_hash=None,
 ) -> DataFrame:
     """surface forms → verified similarity edges (a, b, jaccard)."""
     sf = links_or_sf.select(col).distinct()
-    sig = minhash_signatures(sf, col, k, ngram)
+    sig = minhash_signatures(sf, col, k, ngram, shingle_hash)
     cand = lsh_candidate_pairs(sig, col, k, bands)
     return verify_pairs_jaccard(cand, ngram, threshold)

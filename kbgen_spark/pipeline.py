@@ -145,7 +145,9 @@ def _build_canon_map_local(
 
 
 def build_canon_map(
-    gazetteer: DataFrame, local_threshold: int = CANON_LOCAL_THRESHOLD
+    gazetteer: DataFrame,
+    local_threshold: int = CANON_LOCAL_THRESHOLD,
+    shingle_hash=None,
 ) -> DataFrame:
     """Surface-form similarity edges → connected components → per-component
     canonical entity (min entity_id, with its type). Returns
@@ -154,7 +156,15 @@ def build_canon_map(
     Size-adaptive: a gazetteer under ``local_threshold`` rows resolves
     driver-side (2 dictionary-sized jobs — a truncating collect and the
     MinHash signature aggregate — instead of ~10 shuffle stages); pass 0 to
-    force the distributed path (property tests exercise both)."""
+    force the distributed path (property tests exercise both).
+
+    ``shingle_hash`` (forwarded to minhash_signatures) swaps the MinHash
+    family; the md5-60-bit mirrorable family lets a DuckDB oracle replay the
+    ENTIRE chain — signatures, band buckets, Jaccard verify, connected
+    components, rep selection (driver entry ``canon_map_mirror``). Both the
+    local and distributed paths thread it, so the bit-equality pin between
+    them holds for any family (band bucketing is slice EQUALITY semantics
+    either way)."""
     if local_threshold:
         from kbgen_spark.operators.canonicalize import minhash_signatures
 
@@ -172,10 +182,16 @@ def build_canon_map(
                 ),
                 "surface_form",
                 LSH_K,
+                shingle_hash=shingle_hash,
             ).collect()
             return _build_canon_map_local(spark, gaz_rows, sig_rows)
     edges = similar_surface_edges(
-        gazetteer, "surface_form", k=LSH_K, bands=LSH_BANDS, threshold=JACCARD_T
+        gazetteer,
+        "surface_form",
+        k=LSH_K,
+        bands=LSH_BANDS,
+        threshold=JACCARD_T,
+        shingle_hash=shingle_hash,
     ).select(F.col("a").alias("src"), F.col("b").alias("dst"))
     comp = connected_components(edges, vertices=gazetteer.select("surface_form"))
     sfc = gazetteer.join(

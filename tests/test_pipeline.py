@@ -348,6 +348,30 @@ def test_canon_local_equals_distributed(spark, gazetteer):
     assert len(local) > 0
 
 
+def test_canon_shingle_hash_threads_both_paths(spark, gazetteer):
+    """Round-5: the injected MinHash family (md5-60-bit, the oracle-
+    mirrorable one behind canon_map_mirror) must thread through BOTH canon
+    paths and keep them bit-equal — band bucketing is slice-equality
+    semantics in each, so the family choice may change which candidate
+    pairs exist but never local-vs-distributed agreement."""
+    from kbgen_spark.fixtures_openvocab import mirrorable_shingle_hash
+
+    local = (
+        build_canon_map(gazetteer, shingle_hash=mirrorable_shingle_hash)
+        .orderBy("entity_id")
+        .collect()
+    )
+    dist = (
+        build_canon_map(
+            gazetteer, local_threshold=0, shingle_hash=mirrorable_shingle_hash
+        )
+        .orderBy("entity_id")
+        .collect()
+    )
+    assert [tuple(r) for r in local] == [tuple(r) for r in dist]
+    assert len(local) > 0
+
+
 def test_e2e_matches_golden_pr_1(spark, docs, gazetteer, patterns):
     """FIXTURES.md §4: P = R = 1.0 at fixture scale vs the pandas oracle."""
     from kbgen_spark.metrics import prf

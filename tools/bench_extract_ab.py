@@ -1,13 +1,14 @@
-"""Fold-vs-windows extract formulation A/B at campaign scale.
+"""Extract formulation A/B at campaign scale.
 
-PLANS.md round 4 leaves the island-parity window replay
-(extract_mentions_sql_windows) as the promotion candidate "pending a clean
-fresh-JVM campaign": it wins the ISOLATED extract slice decisively
-(12.95→7.85 s @8 pinned, 36.67→23.64 s @2 at ×64) but measured a wash in
-one fused same-config check. This tool settles it with the full campaign
-protocol — fresh JVM per leg, taskset-pinned 2-vs-8 cores, 1× warmup,
-min-of-N reps — ALTERNATING arms (fold pair, windows pair, ...) so both
-arms sample the same co-tenant noise window.
+Round 4 settled fold-vs-windows (windows wins ×256, fold wins ×64/8-core —
+BENCH/BASELINE.md); round 5's k-token gazetteer (3-5-token phrases) retired
+the windows path from the pipeline entirely (it is the k<=2 closed form and
+raises above), so the live comparison is now FOLD (every candidate through
+the collect_list regroup) vs SPARSE (greedy fold over multi-token
+candidates only; dense unigrams via coverage anti-join — the shipped
+default). Full campaign protocol — fresh JVM per leg, taskset-pinned
+2-vs-8 cores, 1× warmup, min-of-N reps — ALTERNATING arms (fold pair,
+sparse pair, ...) so both arms sample the same co-tenant noise window.
 
 Does NOT touch BENCH/BASELINE.md; prints per-pair rows and a per-arm
 summary. Run: python tools/bench_extract_ab.py [replicate] [pairs_per_arm]
@@ -26,8 +27,7 @@ from bench_scaling import run_level  # noqa: E402
 
 def run_pair(replicate: int, sf_dir: str, arm: str) -> dict:
     prev = os.environ.pop("SPARK_GRAFT_EXTRACT", None)
-    if arm == "windows":
-        os.environ["SPARK_GRAFT_EXTRACT"] = "windows"
+    os.environ["SPARK_GRAFT_EXTRACT"] = arm
     try:
         pair = {}
         for cpus in (2, 8):
@@ -52,9 +52,9 @@ def main() -> None:
     replicate = int(sys.argv[1]) if len(sys.argv) > 1 else 256
     pairs_per_arm = int(sys.argv[2]) if len(sys.argv) > 2 else 2
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    arms: dict[str, list[dict]] = {"fold": [], "windows": []}
+    arms: dict[str, list[dict]] = {"fold": [], "sparse": []}
     for i in range(pairs_per_arm):
-        for arm in ("fold", "windows"):
+        for arm in ("fold", "sparse"):
             print(f"pair {i + 1} arm={arm}", flush=True)
             p = run_pair(replicate, sf_dir, arm)
             arms[arm].append(p)
