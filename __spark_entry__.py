@@ -925,6 +925,35 @@ def canon_map_mirror(spark, sf_dir):
     )
 
 
+def pipeline_triples_mirror(spark, sf_dir):
+    """The FLAGSHIP end-to-end query with a full cross-engine oracle
+    (round 5): extract → link → canonicalize → materialize, every stage
+    replayed in DuckDB. Same stage operators run_pipeline composes, over
+    one-text-span docs (the kgram entry pins the span machinery; the
+    golden e2e test pins interleaved spans at fixture scale), with the
+    md5-60-bit MinHash family injected into canon so the LSH chain is
+    mirrorable. The oracle replays: any-k greedy mention detection
+    (recursive decomposition), per-surface top-1 link verdicts
+    (prior desc, entity_id asc), the full canon chain (shingles → minhash →
+    band buckets → Jaccard verify → components by transitive closure → min
+    reps), and triple assembly (doc-scope typed pairs + span-scope
+    gap/order patterns, distinct). Output: distinct (subj, pred, obj)."""
+    from kbgen_spark import fixtures as FX
+    from kbgen_spark.fixtures_openvocab import mirrorable_shingle_hash
+    from kbgen_spark.operators.extract import extract_mentions_sql
+    from kbgen_spark.operators.link import link_mentions
+    from kbgen_spark.operators.materialize import apply_canon_map, assemble_triples
+    from kbgen_spark.pipeline import build_canon_map
+
+    d = _t(spark, sf_dir, "documents")
+    gaz = FX.build_gazetteer(d)
+    patterns = FX.build_relation_patterns(spark)
+    mentions = extract_mentions_sql(_one_span_docs(d), gaz)
+    canon = build_canon_map(gaz, shingle_hash=mirrorable_shingle_hash)
+    links = link_mentions(mentions, gaz, pre_normalized=True)
+    return assemble_triples(apply_canon_map(links, canon), patterns)
+
+
 def emit_m1_sample(spark, sf_dir):
     from kbgen_spark.models.emit import emit_synthetic
     from kbgen_spark.models.learn import learn_m1
@@ -1244,7 +1273,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # slot 50 this time — the r4 off-by-one put entry #50 below it);
     # 14 r04-green entries rotate out on fresh r04 evidence.
     return {
-        # -- tier 1: need driver evidence this round (17 entries) -------
+        # -- tier 1: need driver evidence this round (18 entries) -------
         # new oracle (round 5): any-k greedy mention detection over the
         # 2-5-token phrase gazetteer (recursive-decomposition DuckDB replay)
         "kg_mentions_kgram": kg_mentions_kgram,
@@ -1258,6 +1287,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # → Jaccard verify → connected components → rep selection) replayed
         # in DuckDB via the md5-60-bit family + recursive transitive closure
         "canon_map_mirror": canon_map_mirror,
+        # new oracle (round 5): the flagship extract→link→canon→materialize
+        # pipeline end-to-end, every stage replayed in DuckDB
+        "pipeline_triples_mirror": pipeline_triples_mirror,
         # green in r03, rotated out of the r04 window — 13 entries riding
         # on r03 evidence (VERDICT r4 #9: every oracle-backed entry green
         # in r04 ∪ r05)
@@ -1296,7 +1328,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_doc_pairs": simhash_doc_pairs,
         "quality_scores_documents": quality_scores_documents,
         "token_counts_documents": token_counts_documents,
-        "fingerprint_md5_documents": fingerprint_md5_documents,
         "q1_pricing_summary": q1_pricing_summary,
         "agg_rollup_orders": agg_rollup_orders,
         "agg_cube_lineitem": agg_cube_lineitem,
@@ -1314,6 +1345,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- tier 3 (past the window): green in r04, oracle-backed,
         #    unchanged code paths — rotate back in when evidence ages ----
         "embedding_norms": embedding_norms,
+        "fingerprint_md5_documents": fingerprint_md5_documents,
         "join_salted_hot_key": join_salted_hot_key,
         "window_topk_orders_per_customer": window_topk_orders_per_customer,
         "window_lag_event_gap": window_lag_event_gap,
@@ -2041,6 +2073,278 @@ def oracle_sql() -> dict[str, str]:
                    cast(sum(pos) as bigint) as sum_pos,
                    cast(min(pos) as int) as min_pos
             from mentions group by mention
+        """,
+        # Round-5 flagship oracle: the WHOLE pipeline — any-k greedy mention
+        # detection (kgram decomposition), per-surface top-1 link verdicts
+        # (prior desc, entity_id asc — exact linking reduces scoring to the
+        # prior, link.py link_verdicts), md5-60-bit canon chain + recursive
+        # transitive closure (canon_map_mirror's), then triple assembly:
+        # doc-scope typed pairs (P_co_occurs thing→action) and span-scope
+        # gap/order patterns (P_near action→system |Δ|<=5; P_follows
+        # thing→system Δ in 1..3 ordered), distinct (subj, pred, obj).
+        # Pattern literals mirror fixtures.build_relation_patterns.
+        "pipeline_triples_mirror": """
+            with recursive tl as materialized (
+                select doc_id, string_split(text, ' ') as t from documents
+            ),
+            uni as (
+                select tok, count(*) as cnt
+                from (select unnest(string_split(text, ' ')) as tok
+                      from documents) x
+                group by tok
+            ),
+            ranked as (
+                select tok, row_number() over (order by cnt desc, tok asc) as rank
+                from uni
+            ),
+            grams as (
+                select n, gram, count(*) as cnt from (
+                    select 2 as n, unnest(list_transform(range(1, len(t)),
+                        i -> array_to_string(t[i:i+1], ' '))) as gram
+                    from tl where len(t) >= 2
+                    union all
+                    select 3, unnest(list_transform(range(1, len(t)-1),
+                        i -> array_to_string(t[i:i+2], ' ')))
+                    from tl where len(t) >= 3
+                    union all
+                    select 4, unnest(list_transform(range(1, len(t)-2),
+                        i -> array_to_string(t[i:i+3], ' ')))
+                    from tl where len(t) >= 4
+                    union all
+                    select 5, unnest(list_transform(range(1, len(t)-3),
+                        i -> array_to_string(t[i:i+4], ' ')))
+                    from tl where len(t) >= 5
+                ) g group by n, gram
+            ),
+            phr as (
+                select gram, n,
+                       row_number() over (partition by n
+                                          order by cnt desc, gram asc) as r
+                from grams
+            ),
+            gaz0 as (
+                select tok as surface_form, rank from ranked
+                union all
+                select gram, (select count(*) from uni)
+                       + case n when 2 then 0 when 3 then 10
+                                when 4 then 15 else 18 end + r
+                from phr
+                where (n = 2 and r <= 10) or (n = 3 and r <= 5)
+                   or (n = 4 and r <= 3) or (n = 5 and r <= 2)
+            ),
+            gazent as (
+                select surface_form,
+                       'E' || lpad(cast(rank as varchar), 5, '0') as entity_id,
+                       case cast((rank - 1) % 3 as int)
+                           when 0 then 'thing' when 1 then 'action'
+                           else 'system'
+                       end as entity_type,
+                       1.0 / rank as prior
+                from gaz0
+            ),
+            gazfull as materialized (
+                select surface_form, entity_id, entity_type, prior from gazent
+                union all
+                select g.surface_form || 's', g.entity_id, g.entity_type,
+                       g.prior
+                from gazent g
+                join ranked rk on g.surface_form = rk.tok and rk.rank <= 5
+            ),
+            surf as materialized (select distinct surface_form from gazfull),
+            slen as (
+                select surface_form,
+                       len(string_split(surface_form, ' ')) as sl
+                from surf
+            ),
+            mcand as materialized (
+                select p.doc_id, p.pos, s.sl, p.phrase as mention
+                from (
+                    select doc_id, cast(i - 1 as int) as pos,
+                           cast(L as int) as L,
+                           array_to_string(t[i:i+L-1], ' ') as phrase
+                    from (select doc_id, unnest(range(1, len(t) + 1)) as i, t
+                          from tl)
+                    cross join (select unnest(range(1, 6)) as L) ls(L)
+                    where i + L - 1 <= len(t)
+                ) p
+                join slen s on p.phrase = s.surface_form and p.L = s.sl
+            ),
+            multi as materialized (
+                select doc_id, pos, sl, mention from (
+                    select doc_id, pos, sl, mention,
+                           row_number() over (partition by doc_id, pos
+                                              order by sl desc) as rk
+                    from mcand where sl >= 2
+                ) where rk = 1
+            ),
+            r as (
+                select doc_id, 0 as cur, cast(null as varchar) as mention,
+                       -1 as pos, 0 as sl
+                from (select distinct doc_id from multi)
+                union all
+                select o.doc_id, o.pos + o.sl as cur, o.mention, o.pos, o.sl
+                from r, lateral (
+                    select doc_id, pos, sl, mention
+                    from multi m
+                    where m.doc_id = r.doc_id and m.pos >= r.cur
+                    order by m.pos asc
+                    limit 1
+                ) o
+            ),
+            fired as (select doc_id, pos, sl, mention from r where pos >= 0),
+            mentions as materialized (
+                select doc_id, pos, mention from fired
+                union all
+                select u.doc_id, u.pos, u.mention
+                from mcand u
+                where u.sl = 1
+                  and not exists (
+                      select 1 from fired f
+                      where f.doc_id = u.doc_id
+                        and u.pos >= f.pos and u.pos < f.pos + f.sl
+                  )
+            ),
+            verdict as (
+                select surface_form, entity_id, entity_type
+                from (select surface_form, entity_id, entity_type,
+                             row_number() over (
+                                 partition by surface_form
+                                 order by prior desc, entity_id asc
+                             ) as rn
+                      from gazfull) v
+                where rn = 1
+            ),
+            links as materialized (
+                select m.doc_id, m.pos, v.entity_id, v.entity_type
+                from mentions m join verdict v on m.mention = v.surface_form
+            ),
+            sh as materialized (
+                select distinct surface_form,
+                       case when len(surface_form) >= 2
+                            then substr(surface_form, i, 2)
+                            else surface_form end as shingle
+                from (select surface_form,
+                             unnest(range(1, greatest(len(surface_form) - 1,
+                                                      1) + 1)) as i
+                      from surf) s
+            ),
+            sig as (
+                select surface_form, j,
+                       min(cast(('0x'||substr(md5(shingle||'#'||j),1,15))
+                                as bigint)) as h
+                from sh, range(32) t(j)
+                group by surface_form, j
+            ),
+            band as (
+                select surface_form, j // 2 as band,
+                       array_to_string(list(h order by j), ',') as bucket
+                from sig group by surface_form, j // 2
+            ),
+            bcand as (
+                select distinct a.surface_form as a, b.surface_form as b
+                from band a join band b
+                  on a.band = b.band and a.bucket = b.bucket
+                 and a.surface_form < b.surface_form
+            ),
+            ssz as (
+                select surface_form, count(*) as sz from sh group by surface_form
+            ),
+            iv as (
+                select x.surface_form as a, y.surface_form as b,
+                       count(*) as i
+                from sh x join sh y
+                  on x.shingle = y.shingle
+                 and x.surface_form < y.surface_form
+                group by 1, 2
+            ),
+            ver as (
+                select c.a, c.b
+                from bcand c
+                join iv on iv.a = c.a and iv.b = c.b
+                join ssz sa on c.a = sa.surface_form
+                join ssz sb on c.b = sb.surface_form
+                where cast(iv.i as double) / (sa.sz + sb.sz - iv.i) >= 0.5
+            ),
+            edges as materialized (
+                select a as s, b as d from ver
+                union all
+                select b, a from ver
+            ),
+            reach as (
+                select surface_form as src, surface_form as dst from surf
+                union
+                select rc.src, e.d from reach rc join edges e on rc.dst = e.s
+            ),
+            comp as (
+                select src as surface_form, min(dst) as component
+                from reach group by src
+            ),
+            gcanon as (
+                select g.surface_form, g.entity_id, g.entity_type, c.component
+                from gazfull g join comp c on g.surface_form = c.surface_form
+            ),
+            crep as (
+                select component, entity_id as canon_id,
+                       entity_type as canon_type
+                from (select component, entity_id, entity_type,
+                             row_number() over (
+                                 partition by component
+                                 order by entity_id asc, entity_type asc
+                             ) as rn
+                      from gcanon) s
+                where rn = 1
+            ),
+            cmap as materialized (
+                select entity_id, canon_id, canon_type
+                from (select gcanon.entity_id, crep.canon_id, crep.canon_type,
+                             row_number() over (
+                                 partition by gcanon.entity_id
+                                 order by crep.canon_id asc, crep.canon_type asc
+                             ) as rn
+                      from gcanon
+                      join crep on gcanon.component = crep.component) s
+                where rn = 1
+            ),
+            clinks as materialized (
+                select l.doc_id, l.pos,
+                       c.canon_id as entity_c, c.canon_type as type_c
+                from links l join cmap c on l.entity_id = c.entity_id
+            ),
+            ents as materialized (
+                select distinct doc_id, entity_c, type_c from clinks
+            ),
+            doc_triples as (
+                select distinct s.entity_c as subj,
+                       'P_co_occurs' as pred,
+                       o.entity_c as obj
+                from ents s join ents o on s.doc_id = o.doc_id
+                where s.type_c = 'thing' and o.type_c = 'action'
+                  and s.entity_c != o.entity_c
+            ),
+            span_near as (
+                select distinct s.entity_c as subj,
+                       'P_near' as pred,
+                       o.entity_c as obj
+                from clinks s join clinks o on s.doc_id = o.doc_id
+                where s.type_c = 'action' and o.type_c = 'system'
+                  and s.entity_c != o.entity_c
+                  and abs(s.pos - o.pos) <= 5
+            ),
+            span_follows as (
+                select distinct s.entity_c as subj,
+                       'P_follows' as pred,
+                       o.entity_c as obj
+                from clinks s join clinks o on s.doc_id = o.doc_id
+                where s.type_c = 'thing' and o.type_c = 'system'
+                  and s.entity_c != o.entity_c
+                  and abs(s.pos - o.pos) <= 3
+                  and s.pos < o.pos
+            )
+            select distinct subj, pred, obj from (
+                select * from doc_triples
+                union all select * from span_near
+                union all select * from span_follows
+            ) u
         """,
         # Round-5 canon oracle: the ENTIRE distributed canonicalization
         # chain replayed — full n-gram gazetteer derivation, char-bigram
