@@ -221,8 +221,23 @@ def _token_stream(docs: DataFrame, k: int) -> DataFrame:
     )
 
 
+# candidate_mentions fast path: when the multi-token surfaces have at most
+# this many DISTINCT FIRST TOKENS, the anchor→max-length map is inlined as a
+# plan literal (create_map) and phrase structs are built array-side ONLY at
+# anchor positions — no per-token successor arrays ever materialize. Same
+# dictionary-size-gated driver-collect family as the local canon path.
+# Conservative cap: a create_map literal this size stays well inside codegen
+# method limits; larger gazetteers take the nxt-carry broadcast-join path.
+ANCHOR_LITERAL_MAX = 512
+
+_CAND_STRUCT_T = "array<struct<pos:int,nl:int,mention:string>>"
+
+
 def candidate_mentions(
-    docs: DataFrame, gazetteer: DataFrame, k: int | None = None
+    docs: DataFrame,
+    gazetteer: DataFrame,
+    k: int | None = None,
+    anchor_literal_max: int = ANCHOR_LITERAL_MAX,
 ) -> DataFrame:
     """Every position where a gazetteer surface matches:
     ``(doc_id, span_idx, offset, pos, nl, mention)`` with nl = −token_count
@@ -230,15 +245,23 @@ def candidate_mentions(
     candidate-generation implementation behind the fold AND the window
     formulations — no drift between them by construction.
 
-    Scale shape: the gazetteer never touches the driver (broadcast hash
-    joins only, besides the one-row k aggregate); the corpus-sized token
-    stream stays in its scan partitions; phrase strings are assembled only
-    at ANCHOR positions (first-token matches), with per-anchor length bound
-    _fmax — candidate work is gazetteer-density proportional, not
-    corpus × k."""
+    Scale shape: the corpus-sized token stream stays in its scan partitions;
+    phrase strings are assembled only at ANCHOR positions (first tokens of
+    multi-token surfaces), bounded per anchor by that token's max surface
+    length. Two anchor mechanisms, measured round 5 (tools/bench_cand_ab.py,
+    @8 pinned ×64, min-of-3): with few distinct anchor first-tokens the
+    anchor→fmax map inlines as a PLAN LITERAL and phrases build array-side
+    (no join, no per-token state; 24.0 s); above the cap each token row
+    carries its next k−1 tokens through a broadcast anchor join (37.7 s —
+    still beats flat per-length gram generation at every position, 43.0 s,
+    which was also tried and rejected)."""
     g1, gm, gfirst = _split_gazetteer(gazetteer)
     if k is None:
         k = max_surface_tokens(gazetteer)
+    if k >= 2 and anchor_literal_max:
+        arows = gfirst.limit(anchor_literal_max + 1).collect()
+        if len(arows) <= anchor_literal_max:
+            return _candidate_mentions_literal(docs, g1, gm, arows)
     tok = _token_stream(docs, k)
     uni = tok.join(F.broadcast(g1), tok["tok"] == F.col("_sf1")).select(
         "doc_id",
@@ -282,6 +305,80 @@ def candidate_mentions(
             "span_idx",
             "offset",
             "pos",
+            F.col("pc.nl").alias("nl"),
+            F.col("pc.mention").alias("mention"),
+        )
+    )
+    multi = phrases.join(F.broadcast(gm), F.col("mention") == F.col("_sfm")).select(
+        "doc_id", "span_idx", "offset", "pos", "nl", "mention"
+    )
+    return uni.unionByName(multi)
+
+
+def _candidate_mentions_literal(
+    docs: DataFrame, g1: DataFrame, gm: DataFrame, anchor_rows: list
+) -> DataFrame:
+    """Anchor-literal candidate generation (see candidate_mentions): the
+    (first_token → max surface length) map is a create_map PLAN LITERAL, so
+    phrase structs are built array-side only where the map probes non-null —
+    non-anchor positions cost one map probe, no successor arrays, no anchor
+    join. Phrases are length-bounded by least(fmax, tokens remaining); the
+    guard keeps sequence() ascending (sequence(2, 1) would DESCEND, not be
+    empty). Unigram candidates stay a lean broadcast hash join."""
+    fmax_map = F.create_map(
+        *[F.lit(v) for r in anchor_rows for v in (r["_f"], r["_fmax"])]
+    )
+    tok = _token_stream(docs, 1)
+    uni = tok.join(F.broadcast(g1), tok["tok"] == F.col("_sf1")).select(
+        "doc_id",
+        "span_idx",
+        "offset",
+        "pos",
+        F.lit(-1).alias("nl"),
+        F.col("tok").alias("mention"),
+    )
+    ts = explode_text_spans(docs).withColumn("_t", F.split("span_text", " "))
+    phrases = (
+        ts.select(
+            "doc_id",
+            "span_idx",
+            "offset",
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        "_t",
+                        lambda x, i: F.coalesce(
+                            F.when(
+                                (F.size("_t") - i >= 2)
+                                & F.element_at(fmax_map, x).isNotNull(),
+                                F.transform(
+                                    F.sequence(
+                                        F.lit(2),
+                                        F.least(
+                                            F.element_at(fmax_map, x),
+                                            F.size("_t") - i,
+                                        ),
+                                    ),
+                                    lambda L: F.struct(
+                                        i.cast("int").alias("pos"),
+                                        (-L).cast("int").alias("nl"),
+                                        F.array_join(
+                                            F.slice(F.col("_t"), i + 1, L), " "
+                                        ).alias("mention"),
+                                    ),
+                                ),
+                            ),
+                            F.expr(f"cast(array() as {_CAND_STRUCT_T})"),
+                        ),
+                    )
+                )
+            ).alias("pc"),
+        )
+        .select(
+            "doc_id",
+            "span_idx",
+            "offset",
+            F.col("pc.pos").alias("pos"),
             F.col("pc.nl").alias("nl"),
             F.col("pc.mention").alias("mention"),
         )

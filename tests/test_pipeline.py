@@ -193,6 +193,20 @@ def test_mention_sparse_equals_fold_any_k(spark, docs, gazetteer):
     assert got == set(exp_rows)
 
 
+def test_candidate_generation_literal_equals_join_fallback(spark, docs, gazetteer):
+    """Round-5: the anchor-literal fast path (anchor→fmax map as a plan
+    literal, phrases built array-side) must produce exactly the same
+    candidate set as the large-gazetteer nxt-carry broadcast-join fallback
+    (anchor_literal_max=0) on the k=5 fixture gazetteer."""
+    from kbgen_spark.operators.extract import candidate_mentions
+
+    lit = candidate_mentions(docs, gazetteer)
+    jn = candidate_mentions(docs, gazetteer, anchor_literal_max=0)
+    assert lit.exceptAll(jn).count() == 0
+    assert jn.exceptAll(lit).count() == 0
+    assert lit.count() > 0
+
+
 def test_mention_window_replay_on_adversarial_islands(spark):
     """Island stress for the parity replay: a 2-letter alphabet where EVERY
     adjacent pair is a bigram surface makes each span one maximal island of
