@@ -389,19 +389,16 @@ def _candidate_mentions_literal(
     return uni.unionByName(multi)
 
 
-def _greedy_fold_select(cands: DataFrame) -> DataFrame:
-    """Replay the greedy longest-match scan over a candidate table
-    ``(doc_id, span_idx, offset, pos, nl, mention)``: regroup per span
-    (sorted (pos asc, len desc) — nl = −len makes sort_array do it) and run
-    the cursor fold as an ``F.aggregate`` — the LITERAL reference automaton
-    (detect_mentions_py), inside codegen. A candidate is emitted iff
-    pos ≥ cursor, moving the cursor to pos + len (a consumed position skips
-    ALL its candidates; an emitted match consumes exactly its own tokens)."""
-    grouped = cands.groupBy("doc_id", "span_idx", "offset").agg(
-        F.sort_array(F.collect_list(F.struct("pos", "nl", "mention"))).alias("c")
-    )
-    sel = F.aggregate(
-        F.col("c"),
+def _greedy_fold_expr(cands_col):
+    """The greedy cursor automaton as an ``F.aggregate`` expression over a
+    (pos asc, nl asc)-sorted array of (pos, nl, mention) candidate structs —
+    the LITERAL reference automaton (detect_mentions_py), inside codegen. A
+    candidate is emitted iff pos ≥ cursor, moving the cursor to pos + len (a
+    consumed position skips ALL its candidates; an emitted match consumes
+    exactly its own tokens). Shared by the shuffle-regrouped fold and the
+    fully array-side literal extract."""
+    return F.aggregate(
+        cands_col,
         F.expr(f"named_struct('cur', 0, 'acc', cast(array() as {MENTIONS_ACC_T}))"),
         lambda st, c: F.when(
             c["pos"] >= st["cur"],
@@ -420,8 +417,122 @@ def _greedy_fold_select(cands: DataFrame) -> DataFrame:
         ).otherwise(st),
         lambda st: st["acc"],
     )
+
+
+def _greedy_fold_select(cands: DataFrame) -> DataFrame:
+    """Replay the greedy longest-match scan over a candidate table
+    ``(doc_id, span_idx, offset, pos, nl, mention)``: regroup per span
+    (sorted (pos asc, len desc) — nl = −len makes sort_array do it) and run
+    the cursor fold (_greedy_fold_expr)."""
+    grouped = cands.groupBy("doc_id", "span_idx", "offset").agg(
+        F.sort_array(F.collect_list(F.struct("pos", "nl", "mention"))).alias("c")
+    )
+    sel = _greedy_fold_expr(F.col("c"))
     return (
         grouped.select("doc_id", "span_idx", "offset", F.explode(sel).alias("m"))
+        .select(
+            "doc_id",
+            "span_idx",
+            "offset",
+            F.col("m.mention").alias("mention"),
+            F.col("m.tok_start").alias("tok_start"),
+        )
+    )
+
+
+# Whole-gazetteer literal extract: at most this many DISTINCT surface forms
+# may be inlined into the plan (isin → InSet hash probes; per-length
+# surface sets and first-token anchor sets). Kept well under codegen method
+# limits; bigger dictionaries take the broadcast-join candidate paths.
+EXTRACT_LITERAL_MAX_SURFACES = 1024
+
+
+def extract_mentions_sql_literal(
+    docs: DataFrame, gazetteer: DataFrame, surfaces: list | None = None
+) -> DataFrame:
+    """Fully ARRAY-SIDE greedy mention detection for dictionary-small
+    gazetteers — the whole gazetteer rides into the plan as literal InSet
+    probes, so extract is ONE narrow projection: tokenize → per-position
+    candidate structs (multi-token grams built only at positions whose
+    token anchors some L-token surface, longest L first) → the same greedy
+    cursor fold (_greedy_fold_expr) over the in-order candidate array →
+    explode. NO join, NO shuffle, NO regroup anywhere in the stage — the
+    plan is a single whole-stage-codegen span over the scan, which is the
+    one shape the 100 TB regime (and this VM's allocation-hostile 8-thread
+    profile) scales perfectly.
+
+    Same size-adaptive family as the driver-local canon path: the literal
+    set is capped (EXTRACT_LITERAL_MAX_SURFACES); extract_mentions' auto
+    variant gates on one dictionary-sized truncating collect and falls back
+    to the broadcast-join formulations above the cap. Bit-equal to fold /
+    sparse / UDF (test-pinned)."""
+    if surfaces is None:
+        rows = (
+            gazetteer.select("surface_form")
+            .distinct()
+            .limit(EXTRACT_LITERAL_MAX_SURFACES + 1)
+            .collect()
+        )
+        if len(rows) > EXTRACT_LITERAL_MAX_SURFACES:
+            raise ValueError(
+                "extract_mentions_sql_literal: gazetteer exceeds "
+                f"{EXTRACT_LITERAL_MAX_SURFACES} distinct surfaces — use the "
+                "broadcast-join paths (extract_mentions_sql[_sparse])"
+            )
+        surfaces = [r[0] for r in rows]
+    if not surfaces:
+        ts0 = explode_text_spans(docs)
+        return ts0.select(
+            "doc_id",
+            "span_idx",
+            "offset",
+            F.lit(None).cast("string").alias("mention"),
+            F.lit(None).cast("int").alias("tok_start"),
+        ).filter(F.lit(False))
+    by_len: dict[int, set] = {}
+    for s in surfaces:
+        by_len.setdefault(s.count(" ") + 1, set()).add(s)
+    uni = sorted(by_len.get(1, ()))
+    multis = {L: sorted(by_len[L]) for L in by_len if L >= 2}
+    firsts = {L: sorted({s.split(" ")[0] for s in multis[L]}) for L in multis}
+
+    ts = explode_text_spans(docs).withColumn("_t", F.split("span_text", " "))
+    n = F.size("_t")
+
+    def cand_at(x, i):
+        # candidates at position i, longest L first (nl ascending), uni
+        # last — already the (pos asc, nl asc) order the fold consumes, so
+        # no sort is ever needed. Gram strings are built only when the
+        # position's token anchors some L-token surface AND L tokens remain.
+        entries = []
+        for L in sorted(multis, reverse=True):
+            gram = F.array_join(F.slice(F.col("_t"), i + 1, L), " ")
+            entries.append(
+                F.when(
+                    x.isin(firsts[L]) & (n - i >= L) & gram.isin(multis[L]),
+                    F.struct(
+                        i.cast("int").alias("pos"),
+                        F.lit(-L).cast("int").alias("nl"),
+                        gram.alias("mention"),
+                    ),
+                )
+            )
+        if uni:
+            entries.append(
+                F.when(
+                    x.isin(uni),
+                    F.struct(
+                        i.cast("int").alias("pos"),
+                        F.lit(-1).cast("int").alias("nl"),
+                        x.alias("mention"),
+                    ),
+                )
+            )
+        return F.filter(F.array(*entries), lambda e: e.isNotNull())
+
+    sel = _greedy_fold_expr(F.flatten(F.transform("_t", cand_at)))
+    return (
+        ts.select("doc_id", "span_idx", "offset", F.explode(sel).alias("m"))
         .select(
             "doc_id",
             "span_idx",
@@ -664,6 +775,22 @@ def extract_mentions(
     variant = os.environ.get("SPARK_GRAFT_EXTRACT") or variant or "auto"
     if variant == "fold":
         return extract_mentions_sql(docs, gazetteer)
+    if variant == "literal":
+        return extract_mentions_sql_literal(docs, gazetteer)
+    if variant == "auto":
+        # dictionary-small gazetteer → whole-gazetteer-literal plan (no
+        # join, no shuffle — tools/bench_cand_ab.py round-5 A/B). One
+        # truncating dictionary-sized collect decides.
+        rows = (
+            gazetteer.select("surface_form")
+            .distinct()
+            .limit(EXTRACT_LITERAL_MAX_SURFACES + 1)
+            .collect()
+        )
+        if len(rows) <= EXTRACT_LITERAL_MAX_SURFACES:
+            return extract_mentions_sql_literal(
+                docs, gazetteer, [r[0] for r in rows]
+            )
     k = max_surface_tokens(gazetteer)
     if variant == "sparse":
         return extract_mentions_sql_sparse(docs, gazetteer, k=k)

@@ -134,9 +134,18 @@ def test_mention_ktoken_surfaces_three_way(spark):
 
         for mention, tok_start in detect_mentions_py(t, surfaces, by_first):
             exp.add((f"d{i}", 0, 0, mention, tok_start))
-    fold = {tuple(r) for r in extract_mentions(docs, gaz).collect()}
+    from kbgen_spark.operators.extract import (
+        extract_mentions_sql,
+        extract_mentions_sql_literal,
+    )
+
+    auto = {tuple(r) for r in extract_mentions(docs, gaz).collect()}
+    fold = {tuple(r) for r in extract_mentions_sql(docs, gaz).collect()}
+    lit = {tuple(r) for r in extract_mentions_sql_literal(docs, gaz).collect()}
     udf = {tuple(r) for r in extract_mentions(docs, gaz, use_udf=True).collect()}
+    assert auto == exp
     assert fold == exp
+    assert lit == exp
     assert udf == exp
     # greedy longest-match sanity on the headline case
     assert ("d0", 0, 0, "university of california berkeley campus", 0) in exp
@@ -191,6 +200,32 @@ def test_mention_sparse_equals_fold_any_k(spark, docs, gazetteer):
         tuple(r) for r in extract_mentions_sql_sparse(adocs, agaz).collect()
     }
     assert got == set(exp_rows)
+
+
+def test_extract_literal_no_shuffle_no_join(spark, docs, gazetteer):
+    """Round-5: the whole-gazetteer-literal extract (the auto default for
+    dictionary-small gazetteers) must be ONE projection — its executed plan
+    contains no shuffle exchange, no join, and no Python node. Values are
+    pinned equal to the fold in the three-way tests; this pins the PLAN
+    SHAPE that makes it the 100 TB-scalable default."""
+    from kbgen_spark.operators.extract import (
+        extract_mentions,
+        extract_mentions_sql_literal,
+    )
+
+    out = extract_mentions_sql_literal(docs, gazetteer)
+    out.count()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    for bad in ("Exchange", "Join", "ArrowEvalPython", "BatchEvalPython"):
+        assert bad not in plan, f"{bad} in literal extract plan"
+    # and auto routes here for the (dictionary-small) fixture gazetteer
+    auto_plan = (
+        extract_mentions(docs, gazetteer)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Join" not in auto_plan
 
 
 def test_candidate_generation_literal_equals_join_fallback(spark, docs, gazetteer):

@@ -68,13 +68,21 @@ def main() -> None:
         finally:
             X.candidate_mentions = orig
 
+    def run_whole_literal() -> float:
+        # round-5 whole-gazetteer-literal extract: no join, no shuffle
+        t0 = time.time()
+        X.extract_mentions_sql_literal(docs, gaz).count()
+        return round(time.time() - t0, 2)
+
     arms = {"lit": X.ANCHOR_LITERAL_MAX, "nxt": 0}
-    for m in arms.values():  # warm both plans once
+    for m in arms.values():  # warm all plans once
         run_full(m)
-    res: dict[str, list[float]] = {a: [] for a in arms}
+    run_whole_literal()
+    res: dict[str, list[float]] = {a: [] for a in [*arms, "whole-lit"]}
     for _ in range(reps):
         for arm, m in arms.items():
             res[arm].append(run_full(m))
+        res["whole-lit"].append(run_whole_literal())
     for arm, ts in res.items():
         print(f"{arm}: min {min(ts)} all {ts}", flush=True)
 
