@@ -660,6 +660,27 @@ def kg_mentions_greedy_sql(spark, sf_dir):
     )
 
 
+def kg_mentions_literal(spark, sf_dir):
+    """The SHIPPED extract default under the driver gate (round 5):
+    whole-gazetteer-literal mention detection — the greedy automaton runs
+    fully array-side with the gazetteer inlined as InSet plan literals,
+    zero joins / zero shuffles (plan-asserted in pytest). Same aggregation
+    and the same recursive-decomposition DuckDB oracle as
+    kg_mentions_kgram, so the two entries pin that the literal plan and
+    the broadcast-join fold agree with the independent cross-engine replay
+    on identical input."""
+    from kbgen_spark import fixtures as FX
+    from kbgen_spark.operators.extract import extract_mentions_sql_literal
+
+    d = _t(spark, sf_dir, "documents")
+    out = extract_mentions_sql_literal(_one_span_docs(d), FX.build_gazetteer(d))
+    return out.groupBy("mention").agg(
+        F.count("*").alias("n"),
+        F.sum("tok_start").alias("sum_pos"),
+        F.min("tok_start").alias("min_pos"),
+    )
+
+
 def kg_mentions_kgram(spark, sf_dir):
     """Round-5 V1 generalization oracle: greedy longest-match over the FULL
     gazetteer — unigrams, 2-5-token phrases (FIXTURES N_NGRAM_PHRASES) and
@@ -1273,7 +1294,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # slot 50 this time — the r4 off-by-one put entry #50 below it);
     # 14 r04-green entries rotate out on fresh r04 evidence.
     return {
-        # -- tier 1: need driver evidence this round (18 entries) -------
+        # -- tier 1: need driver evidence this round (19 entries) -------
         # new oracle (round 5): any-k greedy mention detection over the
         # 2-5-token phrase gazetteer (recursive-decomposition DuckDB replay)
         "kg_mentions_kgram": kg_mentions_kgram,
@@ -1290,6 +1311,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new oracle (round 5): the flagship extract→link→canon→materialize
         # pipeline end-to-end, every stage replayed in DuckDB
         "pipeline_triples_mirror": pipeline_triples_mirror,
+        # new (round 5): the SHIPPED whole-gazetteer-literal extract plan
+        # under the same recursive-decomposition oracle as the fold entry
+        "kg_mentions_literal": kg_mentions_literal,
         # green in r03, rotated out of the r04 window — 13 entries riding
         # on r03 evidence (VERDICT r4 #9: every oracle-backed entry green
         # in r04 ∪ r05)
@@ -1327,7 +1351,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_doc_pairs": minhash_doc_pairs,
         "simhash_doc_pairs": simhash_doc_pairs,
         "quality_scores_documents": quality_scores_documents,
-        "token_counts_documents": token_counts_documents,
         "q1_pricing_summary": q1_pricing_summary,
         "agg_rollup_orders": agg_rollup_orders,
         "agg_cube_lineitem": agg_cube_lineitem,
@@ -1346,6 +1369,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    unchanged code paths — rotate back in when evidence ages ----
         "embedding_norms": embedding_norms,
         "fingerprint_md5_documents": fingerprint_md5_documents,
+        "token_counts_documents": token_counts_documents,
         "join_salted_hot_key": join_salted_hot_key,
         "window_topk_orders_per_customer": window_topk_orders_per_customer,
         "window_lag_event_gap": window_lag_event_gap,
@@ -1571,7 +1595,7 @@ def oracle_sql() -> dict[str, str]:
             from ov_exact e join ov_cand c on e.a = c.a and e.b = c.b
             where e.jac >= {_OV_TAU}
         )"""
-    return {
+    out = {
         "openvocab_ngram_pairs": f"""
             with {ov_corpus},
             ov_set as (select distinct doc_id, tok from ov_toks),
@@ -2797,3 +2821,8 @@ def oracle_sql() -> dict[str, str]:
             order by doc_id
         """,
     }
+    # the shipped literal extract is checked against the SAME recursive
+    # decomposition replay as the fold-path kgram entry (identical input
+    # and aggregation) — one oracle string, two independent Spark plans.
+    out["kg_mentions_literal"] = out["kg_mentions_kgram"]
+    return out
