@@ -16,7 +16,11 @@ Methodology (all three corrections discovered by measurement in round 1):
   compilation, python-worker spin-up, broadcast machinery are one-time costs
   a 100 TB job amortizes; round-2 change).
 
-Writes BENCH/BASELINE.md. Run: python tools/bench_scaling.py [replicate] [pairs]
+Writes raw campaign results to BENCH/raw/scaling_x{replicate}_{stamp}.json
+and prints the summary table — BENCH/BASELINE.md is the CURATED evidence
+document and is edited by hand from these raw files (a round-5 run of this
+script used to overwrite it, losing the campaign history).
+Run: python tools/bench_scaling.py [replicate] [pairs]
 """
 
 from __future__ import annotations
@@ -77,87 +81,26 @@ def main() -> None:
         f"| {p[8]['queries']['pipeline_e2e']} | {p[8]['docs_per_sec']} | {e} |"
         for i, (p, e) in enumerate(rows)
     )
-    n_docs = rows[0][0][2]["n_docs"]
-    os.makedirs("BENCH", exist_ok=True)
-    with open("BENCH/BASELINE.md", "w") as f:
-        f.write(
-            f"""# BENCH — measured throughput & two-parallelism scaling
-
-**Job:** the full KG pipeline (extract → canonicalize → link+re-key →
-materialize) over the interleaved-span corpus derived from `{sf_dir}`,
-deterministically replicated ×{replicate} ({n_docs} docs); fresh JVM per
-measurement, taskset-pinned cores, 1× warmup pipeline before the timed
-region (steady-state throughput — codegen/python-worker spin-up excluded,
-as a long-running job amortizes them).
-
-## Results (pinned, alternating pairs)
-
-| pair | local[2] wall (s) | docs/s | local[8] wall (s) | docs/s | pairwise eff |
-| --- | --- | --- | --- | --- | --- |
-{table}
-
-**Median throughput scaling efficiency (N→4N) = {med:.3f}**
-(target ≥ 0.8, BASELINE.json).
-
-## Why 2 vs 8 pinned cores (sandbox stand-in for N vs 4N executors)
-
-- 32 hardware threads on 16 physical cores: 8→32 measures SMT, not the
-  engine; 2→8 stays within physical cores.
-- Unpinned JVMs leak GC/shuffle/reader threads onto all cores, inflating
-  the small-N figure (measured round 1: 2,700 docs/s unpinned vs
-  1,261–1,850 pinned at "2 cores").
-- Alternating pairs + median de-noises shared-VM drift.
-
-## Round-2 changes that closed the round-1 gap (0.51 → see table)
-
-Per-stage attribution (tools/bench_stages.py, 320k docs pinned) showed the
-round-1 serial term was concentrated in `materialize`, which took the SAME
-wall at 2 and 8 cores (124.6s vs 128.5s — parallelism-insensitive):
-
-| stage | t(2 cores) | t(8 cores) | round-1 efficiency |
-| --- | --- | --- | --- |
-| extract | 172.4 | 55.5 | 0.78 |
-| link | 253.0 | 97.3 | 0.65 |
-| canon | 1.8 | 2.8 | fixed ~2s (gazetteer-sized) |
-| materialize | 124.6 | 128.5 | **0.24 — the bottleneck** |
-
-Root causes found and fixed (measured A/B at 8 cores, 80k docs:
-17.6s → 4.9s warm):
-
-1. **AQE coalescing starved the expanding pair-joins**: their input is small
-   in BYTES (post-distinct entity lists) but the join EXPANDS rows
-   (|ents/doc|² per doc); AQE sizes partitions by map-output bytes only, so
-   it squeezed the heaviest stage onto 1–2 tasks. Fix: explicit
-   `repartition(N, doc_id)` on the pair-join inputs (user repartitions are
-   exempt from coalescing) + per-branch pre-`distinct`.
-2. **First-execution codegen compile** (tens of seconds, core-count
-   independent) sat inside the timed region. Fix: bench warms the identical
-   plan shapes on a 1× corpus first.
-3. **Fused link+canon re-key**: canon (gazetteer-only) runs before link, so
-   the fan-out checkpoint stores the pruned 5-column canon-link table, not
-   the 9-column raw links (mention/surface/score strings never hit the
-   block store).
-4. Arrow batches 10k → 64k rows for the mention UDF boundary.
-
-On a real multi-executor cluster the remaining non-scaling terms (driver
-scheduling of the ~12-job DAG, block-manager lock contention on the shared
-single-box block store) are per-executor or driver-constant — amortized at
-100 TB scale.
-
-Reproduce: `python tools/bench_scaling.py [replicate] [pairs]`; per-stage
-attribution: `taskset -c 0-7 python tools/bench_stages.py 8 64` (and 2).
-Headline suite: `python bench.py` (one JSON line). The job ships unchanged
-to a real cluster via `spark-submit --py-files kbgen_spark.zip
-jobs/run_pipeline.py`.
-
-Raw pair JSON:
-
-```json
-{json.dumps([{f"local[{k}]": v for k, v in p.items()} for p, _ in rows], indent=1)}
-```
-"""
+    print("| pair | local[2] wall (s) | docs/s | local[8] wall (s) | docs/s | eff |")
+    print(table)
+    os.makedirs("BENCH/raw", exist_ok=True)
+    stamp = time.strftime("%Y%m%d_%H%M%S")
+    path = f"BENCH/raw/scaling_x{replicate}_{stamp}.json"
+    with open(path, "w") as f:
+        json.dump(
+            {
+                "replicate": replicate,
+                "sf_dir": sf_dir,
+                "median_eff": med,
+                "pairs": [
+                    {"eff": e, **{f"local[{k}]": v for k, v in p.items()}}
+                    for p, e in rows
+                ],
+            },
+            f,
+            indent=1,
         )
-    print("wrote BENCH/BASELINE.md")
+    print(f"wrote {path} — fold into BENCH/BASELINE.md by hand")
 
 
 if __name__ == "__main__":
