@@ -1110,6 +1110,28 @@ def ann_recall_at_k(spark, sf_dir):
     )
 
 
+def embedding_near_dup_pairs(spark, sf_dir):
+    """Embedding-cosine near-dup dedup under the oracle gate (round 5):
+    plant deterministic perturbed copies (md5-60-bit noise, vec_id+100000 —
+    regenerated bit-identically by DuckDB), then find all cosine ≥ 0.98
+    pairs via BANDED hyperplane LSH (3 bands × 4 sign bits, md5 sign family)
+    + exact verify. Candidate generation is a per-band equi-join on ids only
+    — never all-pairs, vectors joined back post-dedup. Completes the dedup
+    family (exact / minhash / simhash / ngram-jaccard / embedding-cosine)
+    with its scale path driver-checked."""
+    from kbgen_spark.operators.similarity import (
+        cosine_near_dup_banded,
+        md5_sign_hash,
+        planted_near_dup_embeddings,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    aug = planted_near_dup_embeddings(emb, n_dups=50, eps=0.02)
+    return cosine_near_dup_banded(
+        aug, threshold=0.98, bands=3, bits_per_band=4, sign_hash=md5_sign_hash
+    )
+
+
 def media_feature_extraction(spark, sf_dir):
     """Media decode-contract plumbing as a driver row. The operator returns
     ``feature array<float>``; the driver's canonicalizer pandas-sorts every
@@ -1294,10 +1316,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # slot 50 this time — the r4 off-by-one put entry #50 below it);
     # 14 r04-green entries rotate out on fresh r04 evidence.
     return {
-        # -- tier 1: need driver evidence this round (19 entries) -------
+        # -- tier 1: need driver evidence this round (20 entries) -------
         # new oracle (round 5): any-k greedy mention detection over the
         # 2-5-token phrase gazetteer (recursive-decomposition DuckDB replay)
         "kg_mentions_kgram": kg_mentions_kgram,
+        # new oracle (round 5): embedding-cosine near-dup via banded
+        # hyperplane LSH over md5-planted perturbed copies — completes the
+        # dedup family's scale paths under the gate
+        "embedding_near_dup_pairs": embedding_near_dup_pairs,
         # round-4 session addition, parked past the window then — first
         # driver row due now (VERDICT r4 #3)
         "pii_scrub_documents": pii_scrub_documents,
@@ -1330,7 +1356,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "array_funcs_documents": array_funcs_documents,
         "map_funcs_orders": map_funcs_orders,
         "json_funcs_events": json_funcs_events,
-        # -- tier 2: r04-green, kept in-window (34 entries: changed
+        # -- tier 2: r04-green, kept in-window (33 entries: changed
         #    dependencies — gazetteer fixtures, fan-out defaults — or the
         #    perf-watched queries) ----------------------------------------
         "kg_gazetteer": kg_gazetteer,
@@ -1363,10 +1389,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_semi_customers_with_orders": join_semi_customers_with_orders,
         "join_anti_customers_without_orders": join_anti_customers_without_orders,
         "q3_top_revenue_orders": q3_top_revenue_orders,
-        "q5_region_nation_revenue": q5_region_nation_revenue,
         # --------- 50-entry window boundary (slots 1-50 above) ----------
         # -- tier 3 (past the window): green in r04, oracle-backed,
         #    unchanged code paths — rotate back in when evidence ages ----
+        "q5_region_nation_revenue": q5_region_nation_revenue,
         "embedding_norms": embedding_norms,
         "fingerprint_md5_documents": fingerprint_md5_documents,
         "token_counts_documents": token_counts_documents,
@@ -1482,6 +1508,23 @@ def _ann_cte(qmax: int) -> str:
                                           order by score desc, vec_id asc) as rank
                 from scored
             )"""
+
+
+def _hp_code_sql(nbits: int) -> str:
+    """DuckDB expression for the ``nbits``-bit md5-family hyperplane sign
+    code over a normalized list column ``v`` — the same derivation as
+    _ann_cte's bucket, factored for reuse (near-dup banding uses 12 bits)."""
+
+    def proj(b: int) -> str:
+        return (
+            "list_sum(list_transform(range(1, 65), j -> case when "
+            f"cast('0x'||substr(md5('hp:{b}:'||(j-1)),1,15) as bigint) % 2 = 0 "
+            "then v[j] else -v[j] end))"
+        )
+
+    return " + ".join(
+        f"(case when {proj(b)} > 0 then {1 << b} else 0 end)" for b in range(nbits)
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2742,6 +2785,54 @@ def oracle_sql() -> dict[str, str]:
             from exact x left join approx a
               on x.qid = a.qid and x.vec_id = a.vec_id
             group by x.qid
+        """,
+        # Replays embedding_near_dup_pairs end-to-end: md5-noise plant →
+        # L2 normalize → 12-bit md5-sign hyperplane code → 3×4-bit bands →
+        # distinct candidate pairs sharing any band → exact cosine ≥ 0.98.
+        "embedding_near_dup_pairs": f"""
+            with base as (
+                select vec_id,
+                       list_transform(embedding, x -> cast(x as double)) as emb
+                from embeddings
+            ),
+            dups as (
+                select vec_id + 100000 as vid,
+                       list_transform(range(1, 65), j -> emb[j] +
+                           cast((cast('0x'||substr(md5('nd:'||cast(vec_id as varchar)||':'||cast(j-1 as varchar)),1,15) as bigint) % 2001) - 1000 as double)
+                           / 1000.0 * 0.02
+                       ) as emb2
+                from base where vec_id < 50
+            ),
+            allv as (
+                select vec_id, emb from base
+                union all
+                select vid as vec_id, emb2 as emb from dups
+            ),
+            norm as (
+                select vec_id,
+                       list_transform(emb, x -> x / sqrt(list_sum(list_transform(emb, y -> y*y)))) as v
+                from allv
+            ),
+            coded as (
+                select vec_id, v, ({_hp_code_sql(12)}) as code from norm
+            ),
+            bands as (
+                select vec_id, band, (code >> (band * 4)) & 15 as bucket
+                from coded cross join (select unnest([0, 1, 2]) as band) bs
+            ),
+            cand as (
+                select distinct x.vec_id as a, y.vec_id as b
+                from bands x join bands y
+                  on x.band = y.band and x.bucket = y.bucket
+                 and x.vec_id < y.vec_id
+            )
+            select a, b, cosine from (
+                select c.a, c.b,
+                       round(list_dot_product(x.v, y.v), 6) as cosine
+                from cand c
+                join norm x on c.a = x.vec_id
+                join norm y on c.b = y.vec_id) t
+            where cosine >= 0.98
         """,
         "similarity_cosine_topk": """
             with q as (select vec_id as qid, embedding as qv from embeddings where vec_id < 5),

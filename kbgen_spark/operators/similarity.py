@@ -171,3 +171,102 @@ def cosine_pairs(embeddings: DataFrame, threshold: float = 0.95) -> DataFrame:
         .select("a", "b", F.round(_dot(F.col("va"), F.col("vb")), 6).alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def planted_near_dup_embeddings(
+    embeddings: DataFrame, n_dups: int = 50, eps: float = 0.02, dim: int = 64
+) -> DataFrame:
+    """Deterministic near-dup augmentation for recall testing: every vector
+    with ``vec_id < n_dups`` gains a perturbed copy at ``vec_id + 100000``
+    whose component j is ``x_j + U_j`` with ``U_j`` in [-eps, eps] drawn from
+    the md5-60-bit family (``md5('nd:<orig_id>:<j>')``) — bit-identical in
+    DuckDB, so an oracle can regenerate the augmented table exactly (same
+    pattern as fixtures_openvocab). Pure codegen projection: no Python, no
+    shuffle, one union."""
+    from kbgen_spark.fixtures_openvocab import md5_60bit
+
+    base = embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+
+    def noise(j):
+        h = md5_60bit(
+            F.concat(
+                F.lit("nd:"),
+                F.col("vec_id").cast("string"),
+                F.lit(":"),
+                j.cast("string"),
+            )
+        )
+        return (h % 2001 - 1000).cast("double") / 1000.0 * eps
+
+    # Sequential withColumn, NOT one select: Spark 4's implicit lateral
+    # column alias resolution would otherwise bind the noise expression's
+    # vec_id to the re-aliased (vec_id + 100000), silently changing the
+    # hash inputs (measured: dup vectors diverged from the DuckDB replay).
+    dups = (
+        base.filter(F.col("vec_id") < n_dups)
+        .withColumn(
+            "embedding",
+            F.transform(F.col("embedding"), lambda x, j: x + noise(j)),
+        )
+        .withColumn("vec_id", F.col("vec_id") + 100000)
+    )
+    return base.unionByName(dups)
+
+
+def cosine_near_dup_banded(
+    embeddings: DataFrame,
+    threshold: float = 0.98,
+    bands: int = 3,
+    bits_per_band: int = 4,
+    dim: int = 64,
+    sign_hash=None,
+) -> DataFrame:
+    """Near-dup pairs (cosine ≥ τ) via BANDED hyperplane LSH — the scale
+    path for embedding dedup. One ``bands*bits_per_band``-bit sign code per
+    vector (computed once), split into bands; candidates = pairs sharing ANY
+    band value (OR-amplification: a near-identical pair must flip a bit in
+    EVERY band to be missed), then exact cosine verification. Candidate
+    generation carries ids only — the 64-dim vectors are joined back after
+    pair dedup, so the band fan-out never shuffles vector payloads. Per-band
+    equi-join, never all-pairs; same shape as the minhash/simhash banding in
+    operators/dedup.py. ``sign_hash=md5_sign_hash`` makes the whole chain
+    DuckDB-replayable."""
+    nbits = bands * bits_per_band
+    mask = (1 << bits_per_band) - 1
+    e = normalize(embeddings).select("vec_id", F.col("embedding").alias("v"))
+    e = e.withColumn(
+        "code", hyperplane_bucket(F.col("v"), nbits, dim, sign_hash=sign_hash)
+    )
+    band_arr = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright(F.col("code"), b * bits_per_band)
+                .bitwiseAND(F.lit(mask))
+                .alias("bucket"),
+            )
+            for b in range(bands)
+        ]
+    )
+    keyed = e.select(
+        "vec_id", F.explode(band_arr).alias("bb")
+    ).select("vec_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    cand = (
+        keyed.select(F.col("vec_id").alias("a"), "band", "bucket")
+        .join(keyed.select(F.col("vec_id").alias("b"), "band", "bucket"), ["band", "bucket"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    va = e.select(F.col("vec_id").alias("a"), F.col("v").alias("va"))
+    vb = e.select(F.col("vec_id").alias("b"), F.col("v").alias("vb"))
+    return (
+        cand.join(va, "a")
+        .join(vb, "b")
+        .select(
+            "a", "b", F.round(_dot(F.col("va"), F.col("vb")), 6).alias("cosine")
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

@@ -229,3 +229,42 @@ def test_scrub_pii_matches_python_re(spark):
             )
             scrubbed = re.sub(pat, f"[{name.upper()}]", scrubbed)
         assert got[doc_id]["scrubbed"] == scrubbed, doc_id
+
+
+def test_cosine_near_dup_banded_finds_planted_pairs(spark):
+    """The banded-LSH near-dup path must recover every planted perturbed
+    copy (eps=0.02 keeps cosine ≥ ~0.994, far above the 0.98 threshold and
+    far above the ~0.5 max cosine of unrelated random vectors), and its
+    verified pairs must agree with brute force over the same candidates."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    aug = S.planted_near_dup_embeddings(emb, n_dups=20, eps=0.02)
+    got = {
+        (r["a"], r["b"]): r["cosine"]
+        for r in S.cosine_near_dup_banded(aug, threshold=0.98).collect()
+    }
+    planted = {(i, i + 100000) for i in range(20)}
+    assert set(got) == planted, set(got) ^ planted
+    assert all(c >= 0.99 for c in got.values())
+
+
+def test_planted_near_dup_lateral_alias_guard(spark):
+    """The noise hash must key on the ORIGINAL vec_id, not the re-aliased
+    vec_id+100000 (Spark 4 lateral-column-alias resolution would silently
+    rebind it inside a single select — the bug this pins against)."""
+    from kbgen_spark.fixtures_openvocab import md5_60bit
+
+    emb = spark.createDataFrame(
+        [(0, [1.0] * 64)], "vec_id bigint, embedding array<float>"
+    )
+    dup = (
+        S.planted_near_dup_embeddings(emb, n_dups=1, eps=0.02)
+        .filter(F.col("vec_id") == 100000)
+        .collect()[0]["embedding"]
+    )
+    h0 = (
+        spark.range(1)
+        .select((md5_60bit(F.lit("nd:0:0")) % 2001).alias("h"))
+        .collect()[0]["h"]
+    )
+    expected0 = 1.0 + (h0 - 1000) / 1000.0 * 0.02
+    assert abs(dup[0] - expected0) < 1e-12, (dup[0], expected0)
