@@ -107,3 +107,101 @@ def incremental_kg_ingest(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stateful_closed_sessions(
+    events_stream: DataFrame,
+    gap_seconds: int = 300,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """T6 — CUSTOM stateful sessionizer via ``applyInPandasWithState``
+    (Arrow-batched pandas state function; the Spark-first home for operators
+    session_window can't express — this one emits CLOSED sessions only, in
+    append mode, closing either when a later event arrives > gap away or when
+    the event-time watermark passes session_end + gap via a per-key timer).
+
+    State is one open session per user packed as int64 micros
+    ``(start_us, end_us, n)`` — fixed-width, no timestamp encoding in the
+    state store. Sessions that close inside a micro-batch are emitted
+    immediately; the trailing open session arms an event-time timeout and is
+    emitted by the timer when the watermark passes it, so output is
+    independent of how the input splits into micro-batches. At scale, state
+    is hash-partitioned by user_id across executors and each key holds a
+    constant 24 bytes — no per-key growth."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    gap_us = gap_seconds * 1_000_000
+
+    def fn(key, pdf_iter, state):
+        if state.hasTimedOut:
+            start_us, end_us, n = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "session_start": [pd.Timestamp(start_us, unit="us")],
+                    "session_end": [pd.Timestamp(end_us, unit="us")],
+                    "n_events": [n],
+                }
+            )
+            return
+        ts_parts = [pdf["ts"] for pdf in pdf_iter]
+        ts = (
+            pd.concat(ts_parts)
+            .astype("datetime64[us]")
+            .astype("int64")
+            .sort_values()
+            .to_numpy()
+        )
+        if state.exists:
+            start_us, end_us, n = state.get
+        else:
+            start_us = end_us = 0
+            n = 0  # first event below seeds the open session
+        closed = []
+        for t in ts:
+            t = int(t)
+            if n == 0:
+                start_us = end_us = t
+                n = 1
+            elif t - end_us > gap_us:
+                closed.append((start_us, end_us, n))
+                start_us = end_us = t
+                n = 1
+            else:
+                end_us = t
+                n += 1
+        state.update((start_us, end_us, n))
+        # fire when the event-time watermark passes the session's close edge
+        state.setTimeoutTimestamp(end_us // 1000 + gap_seconds * 1000)
+        if closed:
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]] * len(closed),
+                    "session_start": [
+                        pd.Timestamp(s, unit="us") for s, _, _ in closed
+                    ],
+                    "session_end": [
+                        pd.Timestamp(e, unit="us") for _, e, _ in closed
+                    ],
+                    "n_events": [c for _, _, c in closed],
+                }
+            )
+
+    zoned = events_stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    return (
+        zoned.select("user_id", "ts")
+        .withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=(
+                "user_id bigint, session_start timestamp, "
+                "session_end timestamp, n_events bigint"
+            ),
+            stateStructType="start_us bigint, end_us bigint, n bigint",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

@@ -75,3 +75,47 @@ def test_incremental_ingest_equals_batch(spark, flat_docs, gazetteer, patterns, 
     ).triples
     assert got.exceptAll(batch).count() == 0
     assert batch.exceptAll(got).count() == 0
+
+
+def test_stateful_closed_sessions(spark, tmp_path):
+    """T6 applyInPandasWithState sessionizer: sessions close either in-batch
+    (a later event > gap away) or via the event-time timer once the final
+    watermark passes session_end + gap; the still-open trailing session must
+    NOT be emitted."""
+    from datetime import datetime
+
+    from kbgen_spark.streaming.ingest import stateful_closed_sessions
+
+    rows = [
+        # user 1, session A (2 events) then session B (2 events) 29 min later
+        (1, datetime(2026, 1, 1, 0, 0, 0)),
+        (1, datetime(2026, 1, 1, 0, 1, 0)),
+        (1, datetime(2026, 1, 1, 0, 30, 0)),
+        (1, datetime(2026, 1, 1, 0, 31, 0)),
+        # user 2: one event, closes via timer
+        (2, datetime(2026, 1, 1, 0, 0, 0)),
+        # user 99: pushes the watermark to 01:50 but its own session stays
+        # open (timeout 02:05 > watermark) and must not appear
+        (99, datetime(2026, 1, 1, 2, 0, 0)),
+    ]
+    src = str(tmp_path / "sess_src")
+    spark.createDataFrame(rows, "user_id bigint, ts timestamp").coalesce(
+        1
+    ).write.parquet(src)
+
+    stream = spark.readStream.schema("user_id bigint, ts timestamp").parquet(src)
+    q = (
+        stateful_closed_sessions(stream, gap_seconds=300, watermark="10 minutes")
+        .writeStream.format("memory")
+        .queryName("closed_sessions_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["user_id"], r["session_start"].minute + 60 * r["session_start"].hour,
+         r["n_events"])
+        for r in spark.sql("select * from closed_sessions_test").collect()
+    }
+    assert got == {(1, 0, 2), (1, 30, 2), (2, 0, 1)}, got
