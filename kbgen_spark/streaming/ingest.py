@@ -154,24 +154,34 @@ def stateful_closed_sessions(
             .sort_values()
             .to_numpy()
         )
+        # Interval-merge sweep over the batch's sorted events PLUS the
+        # carried open session as an interval. Batch events are sorted, but
+        # the open session's end may sit AHEAD of late-but-valid events from
+        # this batch (above the watermark, before the session edge); the
+        # round-5 review caught the scalar-cursor version moving the open
+        # session's end BACKWARDS on such events (splitting sessions and
+        # emitting regressed end timestamps). Sorting the state interval in
+        # with the events and merging by start makes the result independent
+        # of how the input splits into micro-batches: a late event inside
+        # [start - gap, end + gap] merges (extending start backwards when
+        # earlier), and one more than gap before the open start closes as
+        # its own earlier session.
+        items = [(int(t), int(t), 1) for t in ts]
         if state.exists:
-            start_us, end_us, n = state.get
-        else:
-            start_us = end_us = 0
-            n = 0  # first event below seeds the open session
+            s0, e0, n0 = state.get
+            items.append((int(s0), int(e0), int(n0)))
+            items.sort()
+        if not items:
+            return
         closed = []
-        for t in ts:
-            t = int(t)
-            if n == 0:
-                start_us = end_us = t
-                n = 1
-            elif t - end_us > gap_us:
+        start_us, end_us, n = items[0]
+        for s, e, c in items[1:]:
+            if s - end_us > gap_us:
                 closed.append((start_us, end_us, n))
-                start_us = end_us = t
-                n = 1
+                start_us, end_us, n = s, e, c
             else:
-                end_us = t
-                n += 1
+                end_us = max(end_us, e)
+                n += c
         state.update((start_us, end_us, n))
         # fire when the event-time watermark passes the session's close edge
         state.setTimeoutTimestamp(end_us // 1000 + gap_seconds * 1000)
