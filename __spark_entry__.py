@@ -1356,7 +1356,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "array_funcs_documents": array_funcs_documents,
         "map_funcs_orders": map_funcs_orders,
         "json_funcs_events": json_funcs_events,
-        # -- tier 2: r04-green, kept in-window (33 entries: changed
+        # -- tier 2: r04-green, kept in-window (30 entries: changed
         #    dependencies — gazetteer fixtures, fan-out defaults — or the
         #    perf-watched queries) ----------------------------------------
         "kg_gazetteer": kg_gazetteer,
@@ -1450,6 +1450,61 @@ gaz as (
     from ranked
 )
 """
+
+
+def _ngram_sql_parts() -> tuple[str, str, str, int]:
+    """tl/uni/ranked/grams/phr — the corpus-derived any-k n-gram gazetteer
+    derivation replayed identically by the kg_mentions_kgram,
+    pipeline_triples_mirror and canon_map_mirror oracles. Quotas and rank
+    offsets come from kbgen_spark.fixtures.N_NGRAM_PHRASES — the Spark
+    fixture's single source of truth — so a quota change propagates to the
+    fixture and all three oracles in ONE edit (round-5 review: this chain
+    plus the quota/offset literals was pasted verbatim three times)."""
+    from kbgen_spark.fixtures import N_NGRAM_PHRASES, _phrase_rank_offset
+
+    ns = sorted(N_NGRAM_PHRASES)
+    branches = "\n                    union all\n".join(
+        "                    select {n} as n, "
+        "unnest(list_transform(range(1, len(t){m}),\n"
+        "                        i -> array_to_string(t[i:i+{u}], ' '))) as gram\n"
+        "                    from tl where len(t) >= {n}".format(
+            n=n, m="" if n == 2 else f" - {n - 2}", u=n - 1
+        )
+        for n in ns
+    )
+    ctes = f"""tl as materialized (
+                select doc_id, string_split(text, ' ') as t from documents
+            ),
+            uni as (
+                select tok, count(*) as cnt
+                from (select unnest(string_split(text, ' ')) as tok
+                      from documents) x
+                group by tok
+            ),
+            ranked as (
+                select tok, row_number() over (order by cnt desc, tok asc) as rank
+                from uni
+            ),
+            grams as (
+                select n, gram, count(*) as cnt from (
+{branches}
+                ) g group by n, gram
+            ),
+            phr as (
+                select gram, n,
+                       row_number() over (partition by n
+                                          order by cnt desc, gram asc) as r
+                from grams
+            )"""
+    quota = " or ".join(f"(n = {n} and r <= {N_NGRAM_PHRASES[n]})" for n in ns)
+    whens = " ".join(f"when {n} then {_phrase_rank_offset(n)}" for n in ns[:-1])
+    offset_case = f"case n {whens} else {_phrase_rank_offset(ns[-1])} end"
+    return ctes, quota, offset_case, max(ns)
+
+
+_NGRAM_GAZ_CTES, _NGRAM_QUOTA_PRED, _NGRAM_OFFSET_CASE, _NGRAM_MAX_N = (
+    _ngram_sql_parts()
+)
 
 
 def _ann_cte(qmax: int) -> str:
@@ -2034,51 +2089,14 @@ def oracle_sql() -> dict[str, str]:
         # (2) a unigram then fires iff its position is not covered by a
         # fired multi. MATERIALIZED CTEs keep the recursion from re-running
         # the gram derivation per iteration (measured 10.3 s -> 1.8 s).
-        "kg_mentions_kgram": """
-            with recursive tl as materialized (
-                select doc_id, string_split(text, ' ') as t from documents
-            ),
-            uni as (
-                select tok, count(*) as cnt
-                from (select unnest(string_split(text, ' ')) as tok from documents) x
-                group by tok
-            ),
-            ranked as (
-                select tok, row_number() over (order by cnt desc, tok asc) as rank
-                from uni
-            ),
-            grams as (
-                select n, gram, count(*) as cnt from (
-                    select 2 as n, unnest(list_transform(range(1, len(t)),
-                        i -> array_to_string(t[i:i+1], ' '))) as gram
-                    from tl where len(t) >= 2
-                    union all
-                    select 3, unnest(list_transform(range(1, len(t)-1),
-                        i -> array_to_string(t[i:i+2], ' ')))
-                    from tl where len(t) >= 3
-                    union all
-                    select 4, unnest(list_transform(range(1, len(t)-2),
-                        i -> array_to_string(t[i:i+3], ' ')))
-                    from tl where len(t) >= 4
-                    union all
-                    select 5, unnest(list_transform(range(1, len(t)-3),
-                        i -> array_to_string(t[i:i+4], ' ')))
-                    from tl where len(t) >= 5
-                ) g group by n, gram
-            ),
-            phr as (
-                select gram, n,
-                       row_number() over (partition by n
-                                          order by cnt desc, gram asc) as r
-                from grams
-            ),
+        "kg_mentions_kgram": f"""
+            with recursive {_NGRAM_GAZ_CTES},
             surfaces as materialized (
                 select distinct surface_form from (
                     select tok as surface_form from ranked
                     union all
                     select gram from phr
-                    where (n = 2 and r <= 10) or (n = 3 and r <= 5)
-                       or (n = 4 and r <= 3) or (n = 5 and r <= 2)
+                    where {_NGRAM_QUOTA_PRED}
                     union all
                     select tok || 's' from ranked where rank <= 5
                 ) u
@@ -2096,7 +2114,7 @@ def oracle_sql() -> dict[str, str]:
                            array_to_string(t[i:i+L-1], ' ') as phrase
                     from (select doc_id, unnest(range(1, len(t) + 1)) as i, t
                           from tl)
-                    cross join (select unnest(range(1, 6)) as L) ls(L)
+                    cross join (select unnest(range(1, {_NGRAM_MAX_N + 1})) as L) ls(L)
                     where i + L - 1 <= len(t)
                 ) p
                 join slen s on p.phrase = s.surface_form and p.L = s.sl
@@ -2150,54 +2168,15 @@ def oracle_sql() -> dict[str, str]:
         # gap/order patterns (P_near action→system |Δ|<=5; P_follows
         # thing→system Δ in 1..3 ordered), distinct (subj, pred, obj).
         # Pattern literals mirror fixtures.build_relation_patterns.
-        "pipeline_triples_mirror": """
-            with recursive tl as materialized (
-                select doc_id, string_split(text, ' ') as t from documents
-            ),
-            uni as (
-                select tok, count(*) as cnt
-                from (select unnest(string_split(text, ' ')) as tok
-                      from documents) x
-                group by tok
-            ),
-            ranked as (
-                select tok, row_number() over (order by cnt desc, tok asc) as rank
-                from uni
-            ),
-            grams as (
-                select n, gram, count(*) as cnt from (
-                    select 2 as n, unnest(list_transform(range(1, len(t)),
-                        i -> array_to_string(t[i:i+1], ' '))) as gram
-                    from tl where len(t) >= 2
-                    union all
-                    select 3, unnest(list_transform(range(1, len(t)-1),
-                        i -> array_to_string(t[i:i+2], ' ')))
-                    from tl where len(t) >= 3
-                    union all
-                    select 4, unnest(list_transform(range(1, len(t)-2),
-                        i -> array_to_string(t[i:i+3], ' ')))
-                    from tl where len(t) >= 4
-                    union all
-                    select 5, unnest(list_transform(range(1, len(t)-3),
-                        i -> array_to_string(t[i:i+4], ' ')))
-                    from tl where len(t) >= 5
-                ) g group by n, gram
-            ),
-            phr as (
-                select gram, n,
-                       row_number() over (partition by n
-                                          order by cnt desc, gram asc) as r
-                from grams
-            ),
+        "pipeline_triples_mirror": f"""
+            with recursive {_NGRAM_GAZ_CTES},
             gaz0 as (
                 select tok as surface_form, rank from ranked
                 union all
                 select gram, (select count(*) from uni)
-                       + case n when 2 then 0 when 3 then 10
-                                when 4 then 15 else 18 end + r
+                       + {_NGRAM_OFFSET_CASE} + r
                 from phr
-                where (n = 2 and r <= 10) or (n = 3 and r <= 5)
-                   or (n = 4 and r <= 3) or (n = 5 and r <= 2)
+                where {_NGRAM_QUOTA_PRED}
             ),
             gazent as (
                 select surface_form,
@@ -2231,7 +2210,7 @@ def oracle_sql() -> dict[str, str]:
                            array_to_string(t[i:i+L-1], ' ') as phrase
                     from (select doc_id, unnest(range(1, len(t) + 1)) as i, t
                           from tl)
-                    cross join (select unnest(range(1, 6)) as L) ls(L)
+                    cross join (select unnest(range(1, {_NGRAM_MAX_N + 1})) as L) ls(L)
                     where i + L - 1 <= len(t)
                 ) p
                 join slen s on p.phrase = s.surface_form and p.L = s.sl
@@ -2425,54 +2404,15 @@ def oracle_sql() -> dict[str, str]:
         # matching CC's min-member contract), then per-component /
         # per-entity min-tuple rep selection identical to Spark's
         # min(struct(...)) field ordering.
-        "canon_map_mirror": """
-            with recursive tl as materialized (
-                select doc_id, string_split(text, ' ') as t from documents
-            ),
-            uni as (
-                select tok, count(*) as cnt
-                from (select unnest(string_split(text, ' ')) as tok
-                      from documents) x
-                group by tok
-            ),
-            ranked as (
-                select tok, row_number() over (order by cnt desc, tok asc) as rank
-                from uni
-            ),
-            grams as (
-                select n, gram, count(*) as cnt from (
-                    select 2 as n, unnest(list_transform(range(1, len(t)),
-                        i -> array_to_string(t[i:i+1], ' '))) as gram
-                    from tl where len(t) >= 2
-                    union all
-                    select 3, unnest(list_transform(range(1, len(t)-1),
-                        i -> array_to_string(t[i:i+2], ' ')))
-                    from tl where len(t) >= 3
-                    union all
-                    select 4, unnest(list_transform(range(1, len(t)-2),
-                        i -> array_to_string(t[i:i+3], ' ')))
-                    from tl where len(t) >= 4
-                    union all
-                    select 5, unnest(list_transform(range(1, len(t)-3),
-                        i -> array_to_string(t[i:i+4], ' ')))
-                    from tl where len(t) >= 5
-                ) g group by n, gram
-            ),
-            phr as (
-                select gram, n,
-                       row_number() over (partition by n
-                                          order by cnt desc, gram asc) as r
-                from grams
-            ),
+        "canon_map_mirror": f"""
+            with recursive {_NGRAM_GAZ_CTES},
             gaz0 as (
                 select tok as surface_form, rank from ranked
                 union all
                 select gram, (select count(*) from uni)
-                       + case n when 2 then 0 when 3 then 10
-                                when 4 then 15 else 18 end + r
+                       + {_NGRAM_OFFSET_CASE} + r
                 from phr
-                where (n = 2 and r <= 10) or (n = 3 and r <= 5)
-                   or (n = 4 and r <= 3) or (n = 5 and r <= 2)
+                where {_NGRAM_QUOTA_PRED}
             ),
             gazent as (
                 select surface_form,

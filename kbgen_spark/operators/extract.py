@@ -729,14 +729,20 @@ def extract_mentions(
     ``variant`` (default ``auto``; ``$SPARK_GRAFT_EXTRACT`` overrides for
     A/B campaigns):
 
-    - ``auto``    — size-adaptive: the island-parity window replay when the
-      gazetteer is uni/bigram-only (k ≤ 2, derived) AND the corpus is large
-      (``n_docs`` ≥ EXTRACT_WINDOWS_MIN_DOCS when the caller supplies it —
-      run_pipeline does — else Catalyst scan-stats ≥
-      EXTRACT_WINDOWS_MIN_BYTES); the cursor fold otherwise. Both are pure
-      Catalyst and bit-equal, so the choice is a plan decision, never a
-      semantics one.
-    - ``fold`` / ``windows`` — force one formulation.
+    - ``auto``    — size-adaptive, in priority order: (1) the
+      whole-gazetteer-literal plan (zero join/shuffle) when the gazetteer
+      has ≤ EXTRACT_LITERAL_MAX_SURFACES distinct surfaces (one truncating
+      dictionary-sized collect decides — callers in per-batch loops should
+      hoist this via ``make_extract_fn``); (2) the island-parity window
+      replay when the gazetteer is uni/bigram-only (k ≤ 2, derived) AND the
+      corpus is large (``n_docs`` ≥ EXTRACT_WINDOWS_MIN_DOCS when the caller
+      supplies it — run_pipeline does — else Catalyst scan-stats ≥
+      EXTRACT_WINDOWS_MIN_BYTES); (3) the sparse greedy decomposition
+      otherwise. All are pure Catalyst and bit-equal, so the choice is a
+      plan decision, never a semantics one.
+    - ``literal`` / ``sparse`` / ``fold`` / ``windows`` — force one
+      formulation (fold = the direct candidate-array cursor fold; kept as
+      the reference formulation the others are pinned against).
 
     ``use_udf=True`` selects the Iterator-pandas-UDF trie scan: the
     gazetteer is collected to the driver (dictionary table ≪ corpus,
@@ -807,3 +813,46 @@ def extract_mentions(
         if large:
             return extract_mentions_sql_windows(docs, gazetteer, k=k)
     return extract_mentions_sql_sparse(docs, gazetteer, k=k)
+
+
+def make_extract_fn(gazetteer: DataFrame):
+    """Hoist extract_mentions' gazetteer-derived plan decisions out of a
+    per-batch loop.
+
+    ``extract_mentions(variant='auto')`` runs one or two eager
+    dictionary-sized Spark jobs at PLAN-BUILD time (the truncating
+    literal-cap collect, and ``max_surface_tokens`` when over the cap).
+    That is fine for a one-shot batch query, but inside
+    ``foreachBatch`` (incremental_kg_ingest) it re-ran per micro-batch —
+    fixed driver work that dominates small-batch latency (round-5 review).
+    This resolves the decision ONCE for a gazetteer that is stable across
+    batches and returns ``docs -> mentions`` building the same plan with no
+    eager work. Honors ``$SPARK_GRAFT_EXTRACT`` the same way (forced
+    non-auto variants still derive k once here, not per batch)."""
+    variant = os.environ.get("SPARK_GRAFT_EXTRACT") or "auto"
+    if variant == "fold":
+        return lambda docs: extract_mentions_sql(docs, gazetteer)
+    if variant == "auto":
+        rows = (
+            gazetteer.select("surface_form")
+            .distinct()
+            .limit(EXTRACT_LITERAL_MAX_SURFACES + 1)
+            .collect()
+        )
+        if len(rows) <= EXTRACT_LITERAL_MAX_SURFACES:
+            surfaces = [r[0] for r in rows]
+            return lambda docs: extract_mentions_sql_literal(
+                docs, gazetteer, surfaces
+            )
+        # over the literal cap: per-batch corpora are micro-batch-sized,
+        # so the windows large-corpus promotion never applies — sparse.
+        k = max_surface_tokens(gazetteer)
+        return lambda docs: extract_mentions_sql_sparse(docs, gazetteer, k=k)
+    if variant == "literal":
+        return lambda docs: extract_mentions_sql_literal(docs, gazetteer)
+    k = max_surface_tokens(gazetteer)
+    if variant == "sparse":
+        return lambda docs: extract_mentions_sql_sparse(docs, gazetteer, k=k)
+    if variant == "windows":
+        return lambda docs: extract_mentions_sql_windows(docs, gazetteer, k=k)
+    raise ValueError(f"unknown extract variant: {variant!r}")

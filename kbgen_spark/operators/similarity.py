@@ -174,7 +174,7 @@ def cosine_pairs(embeddings: DataFrame, threshold: float = 0.95) -> DataFrame:
 
 
 def planted_near_dup_embeddings(
-    embeddings: DataFrame, n_dups: int = 50, eps: float = 0.02, dim: int = 64
+    embeddings: DataFrame, n_dups: int = 50, eps: float = 0.02
 ) -> DataFrame:
     """Deterministic near-dup augmentation for recall testing: every vector
     with ``vec_id < n_dups`` gains a perturbed copy at ``vec_id + 100000``

@@ -91,12 +91,16 @@ def incremental_kg_ingest(
     operators run inside ``foreachBatch`` untouched; the triples table grows
     append-only and dedup happens at read time (or via MERGE with Iceberg).
     Returns the StreamingQuery (caller awaits/stops)."""
-    from kbgen_spark.operators.extract import extract_mentions
+    from kbgen_spark.operators.extract import make_extract_fn
     from kbgen_spark.operators.link import link_mentions
     from kbgen_spark.operators.materialize import apply_canon_map, assemble_triples
 
+    # gazetteer-derived plan decisions (literal-cap collect, max token
+    # count) resolved ONCE — not per micro-batch inside process().
+    extract_fn = make_extract_fn(gazetteer)
+
     def process(batch_df: DataFrame, batch_id: int) -> None:
-        mentions = extract_mentions(batch_df, gazetteer)
+        mentions = extract_fn(batch_df)
         links = link_mentions(mentions, gazetteer)
         triples = assemble_triples(apply_canon_map(links, canon_map), patterns)
         triples.write.mode("append").parquet(out_path)

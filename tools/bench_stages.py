@@ -67,7 +67,11 @@ def main() -> None:
 
     def stage(name, df):
         t0 = time.time()
-        out = materialize_fanout(df)  # same mode the pipeline uses
+        # same auto-mode decision the pipeline makes: run_pipeline passes
+        # its metadata-cheap corpus count as the scale hint, so do we —
+        # hint-less the auto rule would silently measure the 'disk' path
+        # while the shipped pipeline takes 'parquet' at corpus scale.
+        out = materialize_fanout(df, scale_hint=n_docs)
         n = out.count()
         t[name] = round(time.time() - t0, 2)
         return out, n
