@@ -166,64 +166,72 @@ def build_gazetteer(flat_docs: DataFrame) -> DataFrame:
       (near-duplicate surface forms → exercises MinHash-LSH + CC canon).
 
     The ranking is pure SQL, mirrored verbatim in the DuckDB oracles
-    (__spark_entry__.oracle_sql: 'kg_gazetteer', 'kg_mentions_kgram'). All
-    phrase lengths are counted in ONE corpus scan + ONE aggregation (the
-    per-n explode is array-side; the only shuffle is the (n, gram) groupBy).
+    (__spark_entry__.oracle_sql: 'kg_gazetteer', 'kg_mentions_kgram').
+
+    Round-6 plan shape (guide §1.2 "the distributed algorithm", §2.4
+    "remove shuffles outright"): the whole derivation is ONE LINEAR plan
+    over ONE corpus scan. Unigrams ride the same array-side gram generation
+    as the phrases (n = 1), one (n, gram) aggregation counts every length,
+    and the per-n ranking window's n = 1 partition reproduces the old
+    global unigram ranking exactly (same (cnt desc, gram asc) order). The
+    quota filter then shrinks the stream to the dictionary-sized survivor
+    set (every unigram + the ~20 quota phrases), after which the unigram
+    total that offsets phrase ranks is a window COUNT over those survivors
+    — no separate counting branch, no eager driver job — and the plural
+    variants are emitted by per-row ``explode`` instead of a second
+    reference to the entity subtree.
+
+    Why linear matters: the previous formulation referenced the corpus
+    subtree from four places (unigram branch, phrase branch, an EAGER
+    ``uni.count()`` at plan-build, and the plural union re-deriving all of
+    it). Branch-specific filters push below the aggregate, so the subtrees
+    canonicalize differently and ReusedExchange can NOT deduplicate them —
+    each evaluation re-scanned and re-exploded the corpus up to four times
+    (measured: the derivation was 3.27 s of kg_cooccur_pairs' 3.67 s at
+    sf0.1/local[32]; the linear plan takes one scan —
+    tools/bench_cooccur_iso.py, plans/r06/kg_cooccur_pairs_*.txt).
+
+    Gram counting is WINDOW-PREFIX shaped (guide §2.3 "shuffle fewer
+    bytes"): instead of exploding one string per (position, length) —
+    |lengths| × |positions| rows, each paying its own array_join and its
+    own ride through the count shuffle — explode ONE k-token window array
+    per position (k = the max phrase length), aggregate the windows, and
+    derive every n-gram count from the ~5× smaller distinct-window table
+    by exploding prefixes there (an n-gram at position i is exactly the
+    n-prefix of the window at i, windows shorter than n contributing to
+    shorter grams only — bit-identical counts, asserted on the live
+    corpus). At sf0.1: 0.8M window rows vs 3.8M gram rows; the corpus-side
+    count stage dropped 2.02 s → 1.19 s (noop, min-of-4, local[32]).
+
+    Token arrays are projected FIRST so the transform lambdas index a
+    materialized array — inlining split(text) into the lambdas would
+    re-split per element (O(len²) per doc).
     """
-    toks = flat_docs.select(
-        F.col("doc_id"), F.posexplode(tokens("text")).alias("pos", "tok")
-    )
-    uni = (
-        toks.groupBy("tok")
-        .agg(F.count("*").alias("cnt"))
-        .withColumn(
-            "rank",
-            F.row_number().over(
-                Window.orderBy(F.desc("cnt"), F.asc("tok"))
-            ),
-        )
-    )
-    # adjacent n-grams for every phrase length, array-side (no shuffle until
-    # the count). Token array is projected FIRST so the transform lambdas
-    # index a materialized array — inlining split(text) into the lambdas
-    # re-splits per element (O(len²) per doc). Positions past size(t)-n
-    # yield null and are filtered (sequence() must not run backwards).
     t = flat_docs.select(tokens("text").alias("t"))
-
-    def _gram_structs(n: int):
-        return F.transform(
-            F.sequence(F.lit(0), F.greatest(F.size("t") - n, F.lit(0))),
-            lambda i: F.when(
-                i + n <= F.size("t"),
-                F.struct(
-                    F.lit(n).alias("n"),
-                    F.array_join(F.slice("t", i + 1, n), " ").alias("gram"),
+    ns = [1, *sorted(N_NGRAM_PHRASES)]
+    k = max(ns)
+    win = t.select(
+        F.explode(
+            F.transform("t", lambda x, i: F.slice(F.col("t"), i + 1, k))
+        ).alias("w")
+    )
+    wcnt = win.groupBy("w").agg(F.count("*").alias("wc"))
+    grams = wcnt.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("w")),
+                lambda n: F.struct(
+                    n.cast("int").alias("n"),
+                    F.array_join(F.slice("w", 1, n), " ").alias("gram"),
                 ),
-            ),
-        )
-
-    grams = (
-        t.select(
-            F.explode(
-                F.flatten(
-                    F.array(*[_gram_structs(n) for n in sorted(N_NGRAM_PHRASES)])
-                )
-            ).alias("g")
-        )
-        .filter(F.col("g").isNotNull())
-        .select(F.col("g.n").alias("n"), F.col("g.gram").alias("gram"))
-    )
-    n_uni = uni.count()
-    offset_expr = F.element_at(
-        F.create_map(
-            *[
-                lit
-                for n in sorted(N_NGRAM_PHRASES)
-                for lit in (F.lit(n), F.lit(_phrase_rank_offset(n)))
-            ]
-        ),
-        F.col("n"),
-    )
+            )
+        ).alias("g"),
+        "wc",
+    ).filter(F.col("g.n").isin(ns))
+    counted = grams.groupBy(
+        F.col("g.n").alias("n"), F.col("g.gram").alias("gram")
+    ).agg(F.sum("wc").alias("cnt"))
+    wn = Window.partitionBy("n").orderBy(F.desc("cnt"), F.asc("gram"))
     quota_expr = F.element_at(
         F.create_map(
             *[
@@ -234,42 +242,61 @@ def build_gazetteer(flat_docs: DataFrame) -> DataFrame:
         ),
         F.col("n"),
     )
-    wn = Window.partitionBy("n").orderBy(F.desc("cnt"), F.asc("gram"))
-    bi = (
-        grams.groupBy("n", "gram")
-        .agg(F.count("*").alias("cnt"))
-        .withColumn("nrank", F.row_number().over(wn))
-        .filter(F.col("nrank") <= quota_expr)
-        .select(
-            F.col("gram").alias("tok"),
-            F.col("cnt"),
-            (F.col("nrank") + offset_expr + F.lit(n_uni)).alias("rank"),
+    offset_expr = F.element_at(
+        F.create_map(
+            *[
+                lit
+                for n in sorted(N_NGRAM_PHRASES)
+                for lit in (F.lit(n), F.lit(_phrase_rank_offset(n)))
+            ]
+        ),
+        F.col("n"),
+    )
+    sel = counted.withColumn("nrank", F.row_number().over(wn)).filter(
+        (F.col("n") == 1) | (F.col("nrank") <= quota_expr)
+    )
+    # Unigram total (offsets phrase ranks): a window count over the
+    # QUOTA-FILTERED survivors — dictionary-sized by construction, so the
+    # single-partition window is trivial at any corpus scale.
+    w_all = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    n_uni = F.sum(F.when(F.col("n") == 1, 1).otherwise(0)).over(w_all)
+    base = sel.select(
+        F.col("gram").alias("tok"),
+        F.col("cnt"),
+        F.when(F.col("n") == 1, F.col("nrank"))
+        .otherwise(F.col("nrank") + offset_expr + n_uni)
+        .alias("rank"),
+    )
+    plural_ok = (F.col("rank") <= N_PLURAL_VARIANTS) & (
+        ~F.col("tok").contains(" ")
+    )
+
+    def _ent_struct(sf_col):
+        return F.struct(
+            sf_col.alias("surface_form"),
+            F.concat(
+                F.lit("E"), F.lpad(F.col("rank").cast("string"), 5, "0")
+            ).alias("entity_id"),
+            F.element_at(
+                F.array(*[F.lit(t) for t in _TYPE_CYCLE]),
+                (F.pmod(F.col("rank") - 1, F.lit(len(_TYPE_CYCLE))) + 1).cast(
+                    "int"
+                ),
+            ).alias("entity_type"),
+            (F.lit(1.0) / F.col("rank")).alias("prior"),
         )
+    rows = F.when(
+        plural_ok,
+        F.array(
+            _ent_struct(F.col("tok")),
+            _ent_struct(F.concat(F.col("tok"), F.lit("s"))),
+        ),
+    ).otherwise(F.array(_ent_struct(F.col("tok"))))
+    return base.select(F.explode(rows).alias("e")).select(
+        "e.surface_form", "e.entity_id", "e.entity_type", "e.prior"
     )
-    base = uni.select("tok", "cnt", "rank").unionByName(bi)
-    ent = base.select(
-        F.col("tok").alias("surface_form"),
-        F.concat(
-            F.lit("E"), F.lpad(F.col("rank").cast("string"), 5, "0")
-        ).alias("entity_id"),
-        F.element_at(
-            F.array(*[F.lit(t) for t in _TYPE_CYCLE]),
-            (F.pmod(F.col("rank") - 1, F.lit(len(_TYPE_CYCLE))) + 1).cast("int"),
-        ).alias("entity_type"),
-        (F.lit(1.0) / F.col("rank")).alias("prior"),
-        F.col("rank"),
-    )
-    plural = (
-        ent.filter((F.col("rank") <= N_PLURAL_VARIANTS) & (~F.col("surface_form").contains(" ")))
-        .select(
-            F.concat(F.col("surface_form"), F.lit("s")).alias("surface_form"),
-            "entity_id",
-            "entity_type",
-            "prior",
-            "rank",
-        )
-    )
-    return ent.unionByName(plural).drop("rank")
 
 
 def build_relation_patterns(spark: SparkSession) -> DataFrame:
