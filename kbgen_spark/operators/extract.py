@@ -722,6 +722,7 @@ def extract_mentions(
     use_udf: bool = False,
     variant: str | None = None,
     n_docs: int | None = None,
+    surfaces: list | None = None,
 ) -> DataFrame:
     """docs × gazetteer → mentions(doc_id, span_idx, offset, mention,
     tok_start).
@@ -743,6 +744,14 @@ def extract_mentions(
     - ``literal`` / ``sparse`` / ``fold`` / ``windows`` — force one
       formulation (fold = the direct candidate-array cursor fold; kept as
       the reference formulation the others are pinned against).
+
+    ``surfaces`` (round 6): the DISTINCT surface-form list, when the caller
+    already holds it — run_pipeline collects the dictionary-sized gazetteer
+    ONCE per call and feeds every consumer, so the auto gate's truncating
+    collect and the ``max_surface_tokens`` job (both eager driver jobs per
+    invocation, ~0.1 s each of pure latency in a rep loop) are skipped; k
+    derives from the list in Python (identical value). Ignored by the UDF
+    path (which needs its own driver collect anyway).
 
     ``use_udf=True`` selects the Iterator-pandas-UDF trie scan: the
     gazetteer is collected to the driver (dictionary table ≪ corpus,
@@ -782,22 +791,31 @@ def extract_mentions(
     if variant == "fold":
         return extract_mentions_sql(docs, gazetteer)
     if variant == "literal":
-        return extract_mentions_sql_literal(docs, gazetteer)
+        return extract_mentions_sql_literal(docs, gazetteer, surfaces)
     if variant == "auto":
         # dictionary-small gazetteer → whole-gazetteer-literal plan (no
         # join, no shuffle — tools/bench_cand_ab.py round-5 A/B). One
-        # truncating dictionary-sized collect decides.
-        rows = (
-            gazetteer.select("surface_form")
-            .distinct()
-            .limit(EXTRACT_LITERAL_MAX_SURFACES + 1)
-            .collect()
-        )
-        if len(rows) <= EXTRACT_LITERAL_MAX_SURFACES:
-            return extract_mentions_sql_literal(
-                docs, gazetteer, [r[0] for r in rows]
+        # truncating dictionary-sized collect decides (skipped when the
+        # caller pre-collected the distinct surfaces).
+        if surfaces is not None:
+            if len(surfaces) <= EXTRACT_LITERAL_MAX_SURFACES:
+                return extract_mentions_sql_literal(docs, gazetteer, surfaces)
+        else:
+            rows = (
+                gazetteer.select("surface_form")
+                .distinct()
+                .limit(EXTRACT_LITERAL_MAX_SURFACES + 1)
+                .collect()
             )
-    k = max_surface_tokens(gazetteer)
+            if len(rows) <= EXTRACT_LITERAL_MAX_SURFACES:
+                return extract_mentions_sql_literal(
+                    docs, gazetteer, [r[0] for r in rows]
+                )
+    k = (
+        max((s.count(" ") + 1 for s in surfaces), default=1)
+        if surfaces is not None
+        else max_surface_tokens(gazetteer)
+    )
     if variant == "sparse":
         return extract_mentions_sql_sparse(docs, gazetteer, k=k)
     if variant == "windows":

@@ -114,6 +114,7 @@ def link_and_canonicalize(
     gazetteer: DataFrame,
     canon_map: DataFrame,
     pre_normalized: bool = False,
+    pre_normalized_checked: bool = False,
 ) -> DataFrame:
     """Fused link + canonical re-key: compose the (dictionary-sized) link
     verdict with the (dictionary-sized) canon map ON THE BROADCAST SIDE, so
@@ -124,8 +125,17 @@ def link_and_canonicalize(
 
     Same pre_normalized runtime guard as link_mentions: a gazetteer whose
     surfaces aren't norm_surface fixed points demotes to the normalized
-    probe (one dictionary-sized check job)."""
-    if pre_normalized and not _pre_normalized_safe(gazetteer):
+    probe (one dictionary-sized check job). ``pre_normalized_checked=True``
+    (round 6) asserts the caller ALREADY ran that exact fixed-point check —
+    run_pipeline evaluates the same ``norm_surface(sf) == sf`` Catalyst
+    expression inside its one fused gazetteer collect — so the guard job is
+    skipped, not weakened (never pass it for a gazetteer that wasn't
+    checked)."""
+    if (
+        pre_normalized
+        and not pre_normalized_checked
+        and not _pre_normalized_safe(gazetteer)
+    ):
         pre_normalized = False
     verdict = link_verdicts(gazetteer).join(canon_map, "entity_id", "left").select(
         "surface_form",

@@ -148,6 +148,7 @@ def build_canon_map(
     gazetteer: DataFrame,
     local_threshold: int = CANON_LOCAL_THRESHOLD,
     shingle_hash=None,
+    gaz_rows: list | None = None,
 ) -> DataFrame:
     """Surface-form similarity edges → connected components → per-component
     canonical entity (min entity_id, with its type). Returns
@@ -164,15 +165,24 @@ def build_canon_map(
     components, rep selection (driver entry ``canon_map_mirror``). Both the
     local and distributed paths thread it, so the bit-equality pin between
     them holds for any family (band bucketing is slice EQUALITY semantics
-    either way)."""
+    either way).
+
+    ``gaz_rows`` (round 6): pre-collected gazetteer rows carrying
+    surface_form/entity_id/entity_type — run_pipeline collects the
+    dictionary-sized gazetteer once per call and feeds every consumer, so
+    the local path here skips its own collect job (one fewer eager driver
+    job per pipeline rep). Truncation contract matches the inline collect:
+    more than ``local_threshold`` rows falls through to the distributed
+    path."""
     if local_threshold:
         from kbgen_spark.operators.canonicalize import minhash_signatures
 
-        gaz_rows = (
-            gazetteer.select("surface_form", "entity_id", "entity_type")
-            .limit(local_threshold + 1)
-            .collect()
-        )
+        if gaz_rows is None:
+            gaz_rows = (
+                gazetteer.select("surface_form", "entity_id", "entity_type")
+                .limit(local_threshold + 1)
+                .collect()
+            )
         if len(gaz_rows) <= local_threshold:
             spark = gazetteer.sparkSession
             surfaces = sorted({r["surface_form"] for r in gaz_rows})
@@ -253,6 +263,56 @@ def run_pipeline(
     # checkpointed/derived frames).
     n_docs = (docs if docs_overridden else flat).count()
 
+    # ONE fused, lazily-run gazetteer collect serves every dictionary-sized
+    # plan decision (round 6, guide §5 "the driver should do almost no data
+    # work"): the extract literal gate, canon's local-path rows, and the
+    # link stage's norm_surface fixed-point guard each used to run their own
+    # eager driver job per pipeline call — ~0.1 s of pure job latency each,
+    # serial, every bench rep. The collect is capped at the canon local
+    # threshold (same truncation contract); an over-threshold gazetteer
+    # falls back to each callee's own distributed/collecting path. The norm
+    # check evaluates the SAME Catalyst norm_surface expression the link
+    # guard runs, so pre_normalized_checked skips a job without weakening
+    # the guard. Deferred into the stage lambdas so a store-backed resume
+    # that skips all stages never pays it.
+    from kbgen_spark.functions.text import norm_surface
+
+    _hoist: dict = {}
+
+    def _gaz_rows() -> list | None:
+        """Collected (surface_form, entity_id, entity_type, _norm_ok) rows,
+        or None when the gazetteer exceeds CANON_LOCAL_THRESHOLD."""
+        if "rows" not in _hoist:
+            rows = (
+                gazetteer.select(
+                    "surface_form",
+                    "entity_id",
+                    "entity_type",
+                    (norm_surface("surface_form") == F.col("surface_form")).alias(
+                        "_norm_ok"
+                    ),
+                )
+                .limit(CANON_LOCAL_THRESHOLD + 1)
+                .collect()
+            )
+            _hoist["rows"] = rows if len(rows) <= CANON_LOCAL_THRESHOLD else None
+        return _hoist["rows"]
+
+    def _surfaces() -> list | None:
+        rows = _gaz_rows()
+        if rows is None:
+            return None
+        return sorted({r["surface_form"] for r in rows})
+
+    def _norm_checked_safe() -> bool | None:
+        """True/False = the fused collect's verdict on the link guard's
+        exact predicate (demote iff some surface is NOT a fixed point);
+        None = gazetteer over the cap — let the guard run its own job."""
+        rows = _gaz_rows()
+        if rows is None:
+            return None
+        return not any(r["_norm_ok"] is False for r in rows)
+
     run = PipelineRun(triples=None)
     # Input fingerprint ties snapshots to input CONTENT (file names + sizes
     # + mtimes), not just the path: replacing the corpus at the same path
@@ -277,7 +337,9 @@ def run_pipeline(
         "extract",
         _params("extract"),
         in_fp,
-        lambda: extract_mentions(docs, gazetteer, n_docs=n_docs),
+        lambda: extract_mentions(
+            docs, gazetteer, n_docs=n_docs, surfaces=_surfaces()
+        ),
         fan_out=False,  # consumed only by link
     )
     run.stages["extract"] = ext
@@ -298,7 +360,7 @@ def run_pipeline(
         "canon",
         _params("canon"),
         in_fp,
-        lambda: build_canon_map(gazetteer),
+        lambda: build_canon_map(gazetteer, gaz_rows=_gaz_rows()),
         fan_out=False,  # consumed only by link's broadcast verdict build
     )
     run.stages["canon"] = canon
@@ -318,7 +380,15 @@ def run_pipeline(
         # row instead of two, and no norm_surface pass (extract emits
         # mentions by exact surface-form equality; see link_mentions).
         lambda: link_and_canonicalize(
-            ext.df, gazetteer, canon.df, pre_normalized=True
+            ext.df,
+            gazetteer,
+            canon.df,
+            pre_normalized=(
+                True
+                if _norm_checked_safe() is None
+                else _norm_checked_safe()
+            ),
+            pre_normalized_checked=_norm_checked_safe() is not None,
         ),
         scale_hint=n_docs,  # links ∝ corpus: fan-out mode follows corpus scale
     )
