@@ -141,18 +141,18 @@ def learn_m1(
     # aggregate as the distinct-entity count (union doubles rows, so
     # n_facts = count/2) instead of two separate full scans (round-2
     # verdict "What's wrong" #4 — at 10^12 facts a scan is the unit cost).
-    counts_row = (
+    # LAZY like every other model table (round 6): the old collect +
+    # createDataFrame ran the scan eagerly at learn time, charging an
+    # extra job to every caller — including the emit path, which never
+    # reads "counts" at all. Same schema, same values, computed only when
+    # a consumer acts on it.
+    counts = (
         triples.select("subj")
         .unionByName(triples.select(F.col("obj").alias("subj")))
         .agg(
             F.count_distinct("subj").alias("n_entities"),
             (F.count("*") / 2).cast("bigint").alias("n_facts"),
         )
-        .collect()[0]
-    )
-    counts = triples.sparkSession.createDataFrame(
-        [(int(counts_row["n_entities"]), int(counts_row["n_facts"]))],
-        "n_entities bigint, n_facts bigint",
     )
     return {
         "rel_dist": rel_dist,

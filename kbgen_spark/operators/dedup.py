@@ -308,7 +308,7 @@ def dedup_ngram_jaccard(
     through one reducer). The token→df join shuffles on ``tok``; AQE turns
     it into a broadcast when the vocabulary is small.
 
-    The rare-first token-set table fans out to THREE consumers (the two
+    The rare-first token-set table fans out to FOUR consumers (the two
     posting aliases of the candidate self-join and the two sides of the
     verify join), so it is materialized exactly once via materialize_fanout
     — same idiom and ``fanout_scale_hint`` contract as dedup_minhash_lsh

@@ -867,7 +867,26 @@ def make_extract_fn(gazetteer: DataFrame):
         k = max_surface_tokens(gazetteer)
         return lambda docs: extract_mentions_sql_sparse(docs, gazetteer, k=k)
     if variant == "literal":
-        return lambda docs: extract_mentions_sql_literal(docs, gazetteer)
+        # collect the surfaces ONCE here and close over them — the bare
+        # extract_mentions_sql_literal(docs, gazetteer) form re-runs the
+        # truncating gazetteer collect inside every micro-batch, exactly
+        # the per-batch eager driver job this helper exists to remove
+        # (round-6 fix of a round-5 review note).
+        lit_rows = (
+            gazetteer.select("surface_form")
+            .distinct()
+            .limit(EXTRACT_LITERAL_MAX_SURFACES + 1)
+            .collect()
+        )
+        if len(lit_rows) > EXTRACT_LITERAL_MAX_SURFACES:
+            raise ValueError(
+                "make_extract_fn(variant='literal'): gazetteer exceeds "
+                f"{EXTRACT_LITERAL_MAX_SURFACES} distinct surfaces"
+            )
+        lit_surfaces = [r[0] for r in lit_rows]
+        return lambda docs: extract_mentions_sql_literal(
+            docs, gazetteer, lit_surfaces
+        )
     k = max_surface_tokens(gazetteer)
     if variant == "sparse":
         return lambda docs: extract_mentions_sql_sparse(docs, gazetteer, k=k)

@@ -128,9 +128,19 @@ def stateful_closed_sessions(
     ``(start_us, end_us, n)`` — fixed-width, no timestamp encoding in the
     state store. Sessions that close inside a micro-batch are emitted
     immediately; the trailing open session arms an event-time timeout and is
-    emitted by the timer when the watermark passes it, so output is
-    independent of how the input splits into micro-batches. At scale, state
-    is hash-partitioned by user_id across executors and each key holds a
+    emitted by the timer when the watermark passes it.
+
+    Batch-split invariance holds for events at or after ``open_start − gap``
+    (the interval-merge below). KNOWN LIMITATION (round-6, from review):
+    state holds only ONE open interval, so a session that closes entirely
+    BEFORE the open session's start is emitted immediately — two late
+    events that would merge into one session if they arrived in the same
+    micro-batch can fragment into two singletons when they arrive in
+    different batches while both above the watermark (reachable only when
+    the watermark delay exceeds the session gap). Buffering pre-open closed
+    sessions in state until the watermark passes their close edge would
+    remove the case at the cost of variable-width state. At scale, state is
+    hash-partitioned by user_id across executors and each key holds a
     constant 24 bytes — no per-key growth."""
     import pandas as pd
     from pyspark.sql.streaming.state import GroupStateTimeout

@@ -65,20 +65,28 @@ def main() -> None:
 
     from kbgen_spark.plans.lineage import materialize_fanout
 
-    def stage(name, df):
+    def stage(name, df, hint=None):
         t0 = time.time()
         # same auto-mode decision the pipeline makes: run_pipeline passes
         # its metadata-cheap corpus count as the scale hint, so do we —
         # hint-less the auto rule would silently measure the 'disk' path
         # while the shipped pipeline takes 'parquet' at corpus scale.
-        out = materialize_fanout(df, scale_hint=n_docs)
+        # (Corpus-scaled stages only: run_pipeline sets fan_out=False for
+        # canon — dictionary-sized, single consumer — so the canon stage
+        # here materializes WITHOUT a hint to keep the measured checkpoint
+        # mode comparable; round-6 fix of a round-5 review note.)
+        out = materialize_fanout(df, scale_hint=hint)
         n = out.count()
         t[name] = round(time.time() - t0, 2)
         return out, n
 
-    ext, n_m = stage("extract", extract_mentions(docs, gaz))
+    ext, n_m = stage("extract", extract_mentions(docs, gaz), hint=n_docs)
     canon, n_c = stage("canon", build_canon_map(gaz))
-    lnk, n_l = stage("link", link_and_canonicalize(ext, gaz, canon, pre_normalized=True))
+    lnk, n_l = stage(
+        "link",
+        link_and_canonicalize(ext, gaz, canon, pre_normalized=True),
+        hint=n_docs,
+    )
     t0 = time.time()
     n_t = assemble_triples(lnk, patterns).count()
     t["materialize"] = round(time.time() - t0, 2)
