@@ -256,10 +256,16 @@ def q5_region_nation_revenue(spark, sf_dir):
         F.col("l_extendedprice").cast("decimal(18,2)")
         * (F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)"))
     ).cast("decimal(28,6)")
+    # Round 6: every dimension side broadcast EXPLICITLY (guide §3.1) —
+    # AQE already converted these to BHJ at runtime from size estimates,
+    # but the hints make the no-lineitem-shuffle plan deterministic (no
+    # dependence on estimates that drift with scale factor) and skip the
+    # AQE re-planning step (measured 1.06 → 0.87 s at sf0.1/local[32],
+    # identical result).
     return (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(c, o.o_custkey == c.c_custkey)
-        .join(s, li.l_suppkey == s.s_suppkey)
+        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
         .filter(c.c_nationkey == s.s_nationkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)

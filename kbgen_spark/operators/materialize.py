@@ -115,7 +115,14 @@ def assemble_triples(
         )
         .repartition(n_part, F.col("s.doc_id"), F.col("p.obj_type"))
     )
-    ents_o = ents.repartition(n_part, "doc_id", "type_c")
+    # SHUFFLE_HASH on the o-side (round 6, guide §3.1): the planner picked
+    # sort-merge, paying a full sort of BOTH pinned sides before the
+    # expanding join; a shuffled-hash build skips the sorts. The build side
+    # is safe by construction — per-partition state is (rows / n_part) and
+    # n_part scales with data, and the max_ents_per_doc guard bounds the
+    # pathological-doc case. Measured 1.70 → 1.51 s (min-of-4, ×4/local[32])
+    # with a much tighter spread; output identical.
+    ents_o = ents.repartition(n_part, "doc_id", "type_c").hint("SHUFFLE_HASH")
     doc_triples = (
         s.join(
             ents_o.alias("o"),
@@ -143,7 +150,9 @@ def assemble_triples(
             n_part, F.col("s.doc_id"), F.col("s.span_idx"), F.col("p.obj_type")
         )
     )
-    m_o = m.repartition(n_part, "doc_id", "span_idx", "type_c")
+    m_o = m.repartition(n_part, "doc_id", "span_idx", "type_c").hint(
+        "SHUFFLE_HASH"
+    )
     span_triples = (
         ms.join(
             m_o.alias("o"),
