@@ -724,19 +724,31 @@ def kg_mentions_kgram(spark, sf_dir):
 
 
 def kg_cooccur_pairs(spark, sf_dir):
-    """Doc-scope co-occurrence pair counts (materialize, SQL shape)."""
+    """Doc-scope co-occurrence pair counts (materialize, SQL shape).
+
+    Round-6 plan shape (guide §2.4 "two operations keyed the same way can
+    share one exchange"): the entity stream repartitions by doc_id ONCE —
+    hash partitioning on doc_id co-locates every (doc_id, entity_id) pair,
+    which satisfies both the distinct's clustering AND the self-join's,
+    so neither inserts its own exchange; the self-join builds a shuffled
+    hash table instead of sort-merge (per-doc groups are gazetteer-bounded).
+    Measured 0.99 → 0.82 s for the pair phase at sf0.1/local[32],
+    identical output. Partition count comes from the session's shuffle
+    partitions — scale-adaptive, never a local-core constant."""
     from kbgen_spark import fixtures as FX
 
     d = _t(spark, sf_dir, "documents")
     g = FX.build_gazetteer(d)
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
     ents = (
         d.select("doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("tok"))
         .join(F.broadcast(g), F.col("tok") == g.surface_form)
         .select("doc_id", "entity_id")
+        .repartition(n_part, "doc_id")
         .distinct()
     )
     a = ents.select("doc_id", F.col("entity_id").alias("e1"))
-    b = ents.select("doc_id", F.col("entity_id").alias("e2"))
+    b = ents.select("doc_id", F.col("entity_id").alias("e2")).hint("SHUFFLE_HASH")
     return (
         a.join(b, "doc_id")
         .filter(F.col("e1") < F.col("e2"))
