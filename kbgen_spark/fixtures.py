@@ -252,7 +252,28 @@ def build_gazetteer(flat_docs: DataFrame) -> DataFrame:
         ),
         F.col("n"),
     )
-    sel = counted.withColumn("nrank", F.row_number().over(wn)).filter(
+    # Two-phase exact top-k for the PHRASE ranks (round 6, guide §2.5): the
+    # per-n window above would otherwise sort every distinct n-gram of each
+    # length through ONE task (210k/238k rows per n at sf0.1; unbounded at
+    # corpus scale). Phase 1 ranks within (n, hash-bucket) — fully parallel
+    # — and keeps only local rank ≤ quota (any global top-q row is top-q in
+    # its own bucket, so this never drops a winner); the global per-n
+    # window then sorts ≤ buckets × quota rows per n. Unigrams pass phase 1
+    # unfiltered: every unigram needs its exact global rank (entity ids
+    # derive from it), which is irreducibly one ordered pass over the
+    # vocabulary — dictionary-sized, and the one global sort this plan
+    # retains by design.
+    n_buckets = 64
+    w_local = Window.partitionBy("n", "_b").orderBy(
+        F.desc("cnt"), F.asc("gram")
+    )
+    cand = (
+        counted.withColumn("_b", F.pmod(F.xxhash64("gram"), F.lit(n_buckets)))
+        .withColumn("_lrank", F.row_number().over(w_local))
+        .filter((F.col("n") == 1) | (F.col("_lrank") <= quota_expr))
+        .drop("_b", "_lrank")
+    )
+    sel = cand.withColumn("nrank", F.row_number().over(wn)).filter(
         (F.col("n") == 1) | (F.col("nrank") <= quota_expr)
     )
     # Unigram total (offsets phrase ranks): a window count over the

@@ -69,3 +69,54 @@ def test_gazetteer_properties(gazetteer):
     n_toks = g["surface_form"].str.split(" ").str.len()
     for n, quota in FX.N_NGRAM_PHRASES.items():
         assert (n_toks == n).sum() == quota, f"{n}-token phrase quota"
+
+
+def test_gazetteer_matches_bruteforce_reference(flat_docs, gazetteer):
+    """Pin build_gazetteer's round-6 plan (window-prefix gram counting,
+    two-phase bucketed top-k, plural-variant explode) against a direct
+    pure-Python re-derivation of the FIXTURES.md §2 spec over the live
+    corpus: every surface, entity id, type and prior must match exactly.
+    Guards the quota-pruning argument (a global top-q phrase is top-q in
+    its hash bucket) and the rank-offset arithmetic against regressions."""
+    from collections import Counter
+
+    texts = [r["text"] for r in flat_docs.select("text").collect()]
+    cnt: Counter = Counter()
+    for txt in texts:
+        toks = txt.split(" ")
+        for n in [1, *FX.N_NGRAM_PHRASES]:
+            for i in range(len(toks) - n + 1):
+                cnt[(n, " ".join(toks[i : i + n]))] += 1
+    uni = sorted(
+        ((c, g) for (n, g), c in cnt.items() if n == 1),
+        key=lambda x: (-x[0], x[1]),
+    )
+    expected = {}
+    for rank0, (c, g) in enumerate(uni):
+        expected[g] = rank0 + 1
+    n_uni = len(uni)
+    for n, quota in sorted(FX.N_NGRAM_PHRASES.items()):
+        grams = sorted(
+            ((c, g) for (m, g), c in cnt.items() if m == n),
+            key=lambda x: (-x[0], x[1]),
+        )[:quota]
+        off = FX._phrase_rank_offset(n)
+        for nrank0, (c, g) in enumerate(grams):
+            expected[g] = nrank0 + 1 + off + n_uni
+    # plural variants of the top-N single-token surfaces share the entity
+    for g, rank in list(expected.items()):
+        if rank <= FX.N_PLURAL_VARIANTS and " " not in g:
+            expected[g + "s"] = rank
+    exp_rows = {
+        sf: (
+            f"E{rank:05d}",
+            FX._TYPE_CYCLE[(rank - 1) % len(FX._TYPE_CYCLE)],
+            1.0 / rank,
+        )
+        for sf, rank in expected.items()
+    }
+    got = {
+        r["surface_form"]: (r["entity_id"], r["entity_type"], r["prior"])
+        for r in gazetteer.collect()
+    }
+    assert got == exp_rows
