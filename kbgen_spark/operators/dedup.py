@@ -156,24 +156,30 @@ def simhash(
     tok = docs.select("doc_id", F.explode(tokens(text_col)).alias("tok")).select(
         "doc_id", th.cast("bigint").alias("h")
     )
-    one = F.lit(1).cast("bigint")
+    # The per-bit expressions are built as SERVER-PARSED SQL strings
+    # (round 6): constructing ``bits`` vote aggregates plus the ``bits``-arm
+    # fingerprint combiner through the DataFrame API costs ~6 Py4J round
+    # trips per node — ~1.0 s of pure driver-side plan construction per
+    # FRESH build of this query (measured; a repeat loop that rebuilds the
+    # plan each iteration, like the bench and any batch scheduler, pays it
+    # every time). One ``F.expr`` per aggregate hands the parse to the JVM.
+    # The fingerprint combines with ``+`` instead of chained XOR: the terms
+    # occupy disjoint bit positions, so there are no carries and the two
+    # are bit-identical (including the sign bit at i = 63) — while the sum
+    # parses as one flat expression instead of a ``bits``-deep tree.
     votes = [
-        F.sum(
-            F.when(
-                F.col("h").bitwiseAND(F.shiftleft(one, i)) != 0, F.lit(1)
-            ).otherwise(F.lit(-1))
-        ).alias(f"s{i}")
+        F.expr(
+            f"sum(if((h & shiftleft(cast(1 as bigint), {i})) != 0, 1, -1))"
+            f" as s{i}"
+        )
         for i in range(bits)
     ]
     summed = tok.groupBy("doc_id").agg(*votes)
-    fp = F.lit(0).cast("bigint")
-    for i in range(bits):
-        fp = fp.bitwiseXOR(
-            F.when(F.col(f"s{i}") > 0, F.shiftleft(one, i)).otherwise(
-                F.lit(0).cast("bigint")
-            )
-        )
-    return summed.select("doc_id", fp.alias("simhash"))
+    fp = " + ".join(
+        f"if(s{i} > 0, shiftleft(cast(1 as bigint), {i}), cast(0 as bigint))"
+        for i in range(bits)
+    )
+    return summed.select("doc_id", F.expr(fp).alias("simhash"))
 
 
 def dedup_simhash(
