@@ -497,40 +497,47 @@ def extract_mentions_sql_literal(
     firsts = {L: sorted({s.split(" ")[0] for s in multis[L]}) for L in multis}
 
     ts = explode_text_spans(docs).withColumn("_t", F.split("span_text", " "))
-    n = F.size("_t")
 
-    def cand_at(x, i):
-        # candidates at position i, longest L first (nl ascending), uni
-        # last — already the (pos asc, nl asc) order the fold consumes, so
-        # no sort is ever needed. Gram strings are built only when the
-        # position's token anchors some L-token surface AND L tokens remain.
-        entries = []
-        for L in sorted(multis, reverse=True):
-            gram = F.array_join(F.slice(F.col("_t"), i + 1, L), " ")
-            entries.append(
-                F.when(
-                    x.isin(firsts[L]) & (n - i >= L) & gram.isin(multis[L]),
-                    F.struct(
-                        i.cast("int").alias("pos"),
-                        F.lit(-L).cast("int").alias("nl"),
-                        gram.alias("mention"),
-                    ),
-                )
-            )
-        if uni:
-            entries.append(
-                F.when(
-                    x.isin(uni),
-                    F.struct(
-                        i.cast("int").alias("pos"),
-                        F.lit(-1).cast("int").alias("nl"),
-                        x.alias("mention"),
-                    ),
-                )
-            )
-        return F.filter(F.array(*entries), lambda e: e.isNotNull())
+    # The per-position candidate expression is generated as ONE
+    # server-parsed SQL string (round 6): the former per-node DataFrame-API
+    # construction (an isin per surface class, struct/when/slice per
+    # length) cost ~0.3 s of Py4J round trips EVERY time the plan is
+    # rebuilt — a per-rep tax in the bench loop and a per-batch tax in
+    # streaming. The string reproduces the identical expression tree:
+    # candidates at position i, longest L first (nl ascending), unigrams
+    # last — already the (pos asc, nl asc) order the fold consumes, so no
+    # sort is ever needed; gram strings are built only when the position's
+    # token anchors some L-token surface AND L tokens remain. Literals are
+    # backslash-escaped; bit-equality to the fold/UDF paths is test-pinned
+    # and the kg_mentions_literal oracle replays the output cross-engine.
+    def _sq(s: str) -> str:
+        return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
 
-    sel = _greedy_fold_expr(F.flatten(F.transform("_t", cand_at)))
+    def _inlist(vals) -> str:
+        return "(" + ", ".join(_sq(v) for v in vals) + ")"
+
+    entries = []
+    for L in sorted(multis, reverse=True):
+        gram = f"array_join(slice(_t, i + 1, {L}), ' ')"
+        entries.append(
+            f"case when x in {_inlist(firsts[L])}"
+            f" and (size(_t) - i) >= {L}"
+            f" and {gram} in {_inlist(multis[L])}"
+            f" then named_struct('pos', cast(i as int),"
+            f" 'nl', cast({-L} as int), 'mention', {gram}) end"
+        )
+    if uni:
+        entries.append(
+            f"case when x in {_inlist(uni)}"
+            " then named_struct('pos', cast(i as int),"
+            " 'nl', cast(-1 as int), 'mention', x) end"
+        )
+    cand_sql = (
+        "flatten(transform(_t, (x, i) -> filter(array("
+        + ", ".join(entries)
+        + "), e -> e is not null)))"
+    )
+    sel = _greedy_fold_expr(F.expr(cand_sql))
     return (
         ts.select("doc_id", "span_idx", "offset", F.explode(sel).alias("m"))
         .select(
