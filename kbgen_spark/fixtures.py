@@ -231,26 +231,26 @@ def build_gazetteer(flat_docs: DataFrame) -> DataFrame:
     counted = grams.groupBy(
         F.col("g.n").alias("n"), F.col("g.gram").alias("gram")
     ).agg(F.sum("wc").alias("cnt"))
+    # Quota / rank-offset lookups and the entity-row constructor below are
+    # rendered as server-parsed SQL strings (round 6): the DataFrame-API
+    # construction (two create_map literal chains, the type-cycle
+    # element_at, two entity structs) cost ~0.25 s of Py4J round trips per
+    # plan BUILD — a per-invocation driver tax for every gazetteer
+    # consumer. Same expressions, parsed once in the JVM.
     wn = Window.partitionBy("n").orderBy(F.desc("cnt"), F.asc("gram"))
-    quota_expr = F.element_at(
-        F.create_map(
-            *[
-                lit
-                for n, q in sorted(N_NGRAM_PHRASES.items())
-                for lit in (F.lit(n), F.lit(q))
-            ]
-        ),
-        F.col("n"),
+    quota_expr = F.expr(
+        "element_at(map("
+        + ", ".join(
+            f"{n}, {q}" for n, q in sorted(N_NGRAM_PHRASES.items())
+        )
+        + "), n)"
     )
-    offset_expr = F.element_at(
-        F.create_map(
-            *[
-                lit
-                for n in sorted(N_NGRAM_PHRASES)
-                for lit in (F.lit(n), F.lit(_phrase_rank_offset(n)))
-            ]
-        ),
-        F.col("n"),
+    offset_expr = F.expr(
+        "element_at(map("
+        + ", ".join(
+            f"{n}, {_phrase_rank_offset(n)}" for n in sorted(N_NGRAM_PHRASES)
+        )
+        + "), n)"
     )
     # Two-phase exact top-k for the PHRASE ranks (round 6, guide §2.5): the
     # per-n window above would otherwise sort every distinct n-gram of each
@@ -290,31 +290,23 @@ def build_gazetteer(flat_docs: DataFrame) -> DataFrame:
         .otherwise(F.col("nrank") + offset_expr + n_uni)
         .alias("rank"),
     )
-    plural_ok = (F.col("rank") <= N_PLURAL_VARIANTS) & (
-        ~F.col("tok").contains(" ")
-    )
+    cycle = ", ".join(f"'{t}'" for t in _TYPE_CYCLE)
 
-    def _ent_struct(sf_col):
-        return F.struct(
-            sf_col.alias("surface_form"),
-            F.concat(
-                F.lit("E"), F.lpad(F.col("rank").cast("string"), 5, "0")
-            ).alias("entity_id"),
-            F.element_at(
-                F.array(*[F.lit(t) for t in _TYPE_CYCLE]),
-                (F.pmod(F.col("rank") - 1, F.lit(len(_TYPE_CYCLE))) + 1).cast(
-                    "int"
-                ),
-            ).alias("entity_type"),
-            (F.lit(1.0) / F.col("rank")).alias("prior"),
+    def _ent_struct(sf_sql: str) -> str:
+        return (
+            f"named_struct('surface_form', {sf_sql},"
+            " 'entity_id', concat('E', lpad(cast(rank as string), 5, '0')),"
+            f" 'entity_type', element_at(array({cycle}),"
+            f" cast(pmod(rank - 1, {len(_TYPE_CYCLE)}) + 1 as int)),"
+            " 'prior', 1.0D / rank)"
         )
-    rows = F.when(
-        plural_ok,
-        F.array(
-            _ent_struct(F.col("tok")),
-            _ent_struct(F.concat(F.col("tok"), F.lit("s"))),
-        ),
-    ).otherwise(F.array(_ent_struct(F.col("tok"))))
+
+    plural_sf = "concat(tok, 's')"
+    rows = F.expr(
+        f"case when rank <= {N_PLURAL_VARIANTS} and not contains(tok, ' ')"
+        f" then array({_ent_struct('tok')}, {_ent_struct(plural_sf)})"
+        f" else array({_ent_struct('tok')}) end"
+    )
     return base.select(F.explode(rows).alias("e")).select(
         "e.surface_form", "e.entity_id", "e.entity_type", "e.prior"
     )
