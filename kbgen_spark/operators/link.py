@@ -137,7 +137,13 @@ def link_and_canonicalize(
         and not _pre_normalized_safe(gazetteer)
     ):
         pre_normalized = False
-    verdict = link_verdicts(gazetteer).join(canon_map, "entity_id", "left").select(
+    # canon_map is dictionary-sized by contract — broadcast it explicitly
+    # so the verdict-composition join on the BUILD side never plans as a
+    # sort-merge (round 6: the initial plan showed SMJ with two exchanges +
+    # sorts for a 56 × 51-row join; pure per-rep stage latency).
+    verdict = link_verdicts(gazetteer).join(
+        F.broadcast(canon_map), "entity_id", "left"
+    ).select(
         "surface_form",
         F.coalesce("canon_id", "entity_id").alias("entity_c"),
         F.coalesce("canon_type", "entity_type").alias("type_c"),
