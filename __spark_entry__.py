@@ -1370,56 +1370,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # CORRECTNESS_r*.json history may safely sit past the 50-entry window.
     # When adding a query, insert it at the TOP and demote the oldest
     # already-evidenced entry.
-    # Round-5 layout (VERDICT r4 #3/#9 + ADVICE #1): tier 1 holds the two
-    # new/parked oracles, the changed-code-path mention entry, and all 13
-    # entries that were still riding on r03 evidence; the window is filled
-    # to EXACTLY 50 with r04-green entries (the boundary comment sits after
-    # slot 50 this time — the r4 off-by-one put entry #50 below it);
-    # 14 r04-green entries rotate out on fresh r04 evidence.
+    # Round-6 layout (VERDICT r5 #8 + the optimization round's own
+    # changed paths): tier 1 holds (a) every entry whose Spark-side code
+    # or dependency changed this round — the gazetteer family (linear
+    # one-scan derivation), the mention-detection entries (SQL-string
+    # literal plan), the canon/pipeline mirrors (fused collect, verdict
+    # broadcast, SHUFFLE_HASH assemble), minhash (input redistribution),
+    # simhash (expr-string votes), q3/q5 (pre-agg/broadcast) — and (b) all
+    # 18 tier-3 entries that were riding on r04 evidence, rotated back in
+    # per the registry contract. The window fills to EXACTLY 50 with
+    # r05-green unchanged entries; 18 r05-green unchanged entries rotate
+    # out on fresh r05 evidence. All 76 entries re-verified green locally
+    # this round at sf0.01 AND sf0.001 (tools/compare_oracle.py).
     return {
-        # -- tier 1: need driver evidence this round (20 entries) -------
-        # new oracle (round 5): any-k greedy mention detection over the
-        # 2-5-token phrase gazetteer (recursive-decomposition DuckDB replay)
+        # -- tier 1a: Spark-side code or dependency CHANGED this round ---
         "kg_mentions_kgram": kg_mentions_kgram,
-        # new oracle (round 5): embedding-cosine near-dup via banded
-        # hyperplane LSH over md5-planted perturbed copies — completes the
-        # dedup family's scale paths under the gate
-        "embedding_near_dup_pairs": embedding_near_dup_pairs,
-        # round-4 session addition, parked past the window then — first
-        # driver row due now (VERDICT r4 #3)
-        "pii_scrub_documents": pii_scrub_documents,
-        # r4-green but the Spark side changed this round (gazetteer k<=2
-        # subset + shared anchored candidate generation) — re-evidence
         "kg_mentions_greedy_sql": kg_mentions_greedy_sql,
-        # new oracle (round 5): the full distributed canon chain (LSH bands
-        # → Jaccard verify → connected components → rep selection) replayed
-        # in DuckDB via the md5-60-bit family + recursive transitive closure
-        "canon_map_mirror": canon_map_mirror,
-        # new oracle (round 5): the flagship extract→link→canon→materialize
-        # pipeline end-to-end, every stage replayed in DuckDB
-        "pipeline_triples_mirror": pipeline_triples_mirror,
-        # new (round 5): the SHIPPED whole-gazetteer-literal extract plan
-        # under the same recursive-decomposition oracle as the fold entry
         "kg_mentions_literal": kg_mentions_literal,
-        # green in r03, rotated out of the r04 window — 13 entries riding
-        # on r03 evidence (VERDICT r4 #9: every oracle-backed entry green
-        # in r04 ∪ r05)
-        "window_dense_rank_parts": window_dense_rank_parts,
-        "topk_expensive_parts": topk_expensive_parts,
-        "per_group_top1_order": per_group_top1_order,
-        "window_percentiles": window_percentiles,
-        "asof_join_purchases": asof_join_purchases,
-        "set_except_customers": set_except_customers,
-        "set_intersect_orderkeys": set_intersect_orderkeys,
-        "set_union_keys": set_union_keys,
-        "string_funcs_parts": string_funcs_parts,
-        "math_funcs_lineitem": math_funcs_lineitem,
-        "array_funcs_documents": array_funcs_documents,
-        "map_funcs_orders": map_funcs_orders,
-        "json_funcs_events": json_funcs_events,
-        # -- tier 2: r04-green, kept in-window (30 entries: changed
-        #    dependencies — gazetteer fixtures, fan-out defaults — or the
-        #    perf-watched queries) ----------------------------------------
+        "canon_map_mirror": canon_map_mirror,
+        "pipeline_triples_mirror": pipeline_triples_mirror,
         "kg_gazetteer": kg_gazetteer,
         "kg_mentions_by_entity": kg_mentions_by_entity,
         "kg_cooccur_pairs": kg_cooccur_pairs,
@@ -1427,33 +1396,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_multitype_dist": kg_multitype_dist,
         "kg_split_type_assertions": kg_split_type_assertions,
         "rules_chain_inference": rules_chain_inference,
-        "type_closure_nations": type_closure_nations,
-        "dedup_bow_exact": dedup_bow_exact,
-        "dedup_ngram_jaccard_pairs": dedup_ngram_jaccard_pairs,
-        "similarity_cosine_topk": similarity_cosine_topk,
-        "lang_id_documents": lang_id_documents,
-        "openvocab_ngram_pairs": openvocab_ngram_pairs,
-        "openvocab_minhash_pairs": openvocab_minhash_pairs,
-        "openvocab_lsh_recall": openvocab_lsh_recall,
         "minhash_doc_pairs": minhash_doc_pairs,
         "simhash_doc_pairs": simhash_doc_pairs,
-        "quality_scores_documents": quality_scores_documents,
-        "q1_pricing_summary": q1_pricing_summary,
-        "agg_rollup_orders": agg_rollup_orders,
-        "agg_cube_lineitem": agg_cube_lineitem,
-        "agg_distinct_counts": agg_distinct_counts,
-        "agg_degree_histogram": agg_degree_histogram,
-        "agg_grouping_sets_orders": agg_grouping_sets_orders,
-        "q6_revenue_delta": q6_revenue_delta,
-        "pivot_orders_status": pivot_orders_status,
-        "join_broadcast_chain": join_broadcast_chain,
-        "join_semi_customers_with_orders": join_semi_customers_with_orders,
-        "join_anti_customers_without_orders": join_anti_customers_without_orders,
         "q3_top_revenue_orders": q3_top_revenue_orders,
-        # --------- 50-entry window boundary (slots 1-50 above) ----------
-        # -- tier 3 (past the window): green in r04, oracle-backed,
-        #    unchanged code paths — rotate back in when evidence ages ----
         "q5_region_nation_revenue": q5_region_nation_revenue,
+        # -- tier 1b: green in r04, rotated past the r05 window — due for
+        #    fresh evidence per the ledger contract (VERDICT r5 #8) ------
         "embedding_norms": embedding_norms,
         "fingerprint_md5_documents": fingerprint_md5_documents,
         "token_counts_documents": token_counts_documents,
@@ -1471,6 +1419,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_window_counts": session_window_counts,
         "ivf_ann_topk": ivf_ann_topk,
         "ann_recall_at_k": ann_recall_at_k,
+        # -- tier 2: r05-green, unchanged, kept in-window (fills to 50) --
+        "dedup_ngram_jaccard_pairs": dedup_ngram_jaccard_pairs,
+        "similarity_cosine_topk": similarity_cosine_topk,
+        "lang_id_documents": lang_id_documents,
+        "openvocab_ngram_pairs": openvocab_ngram_pairs,
+        "openvocab_minhash_pairs": openvocab_minhash_pairs,
+        "openvocab_lsh_recall": openvocab_lsh_recall,
+        "q1_pricing_summary": q1_pricing_summary,
+        "agg_rollup_orders": agg_rollup_orders,
+        "agg_cube_lineitem": agg_cube_lineitem,
+        "agg_distinct_counts": agg_distinct_counts,
+        "agg_degree_histogram": agg_degree_histogram,
+        "agg_grouping_sets_orders": agg_grouping_sets_orders,
+        "q6_revenue_delta": q6_revenue_delta,
+        "pivot_orders_status": pivot_orders_status,
+        "join_broadcast_chain": join_broadcast_chain,
+        "join_semi_customers_with_orders": join_semi_customers_with_orders,
+        "join_anti_customers_without_orders": join_anti_customers_without_orders,
+        # --------- 50-entry window boundary (slots 1-50 above) ----------
+        # -- tier 3 (past the window): green in r05, oracle-backed,
+        #    unchanged code paths — rotate back in when evidence ages ----
+        "embedding_near_dup_pairs": embedding_near_dup_pairs,
+        "pii_scrub_documents": pii_scrub_documents,
+        "window_dense_rank_parts": window_dense_rank_parts,
+        "topk_expensive_parts": topk_expensive_parts,
+        "per_group_top1_order": per_group_top1_order,
+        "window_percentiles": window_percentiles,
+        "asof_join_purchases": asof_join_purchases,
+        "set_except_customers": set_except_customers,
+        "set_intersect_orderkeys": set_intersect_orderkeys,
+        "set_union_keys": set_union_keys,
+        "string_funcs_parts": string_funcs_parts,
+        "math_funcs_lineitem": math_funcs_lineitem,
+        "array_funcs_documents": array_funcs_documents,
+        "map_funcs_orders": map_funcs_orders,
+        "json_funcs_events": json_funcs_events,
+        "type_closure_nations": type_closure_nations,
+        "dedup_bow_exact": dedup_bow_exact,
+        "quality_scores_documents": quality_scores_documents,
         # -- tier 4 (past the window): permanently no_oracle by design —
         #    pytest-covered (golden / property / χ²); driver rows would
         #    only ever be rows-only, so they don't spend checked slots.
